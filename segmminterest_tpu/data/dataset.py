@@ -1,0 +1,143 @@
+"""Fixed-shape batch assembly.
+
+Behavioral spec: /root/reference/MMinterest/utils/dataloader_SegMM.py:186-382
+(FrameDatasetSeq_SegMM._getitem + DataCollator) and
+/root/reference/MMinterest/utils/dataloader_KuaiRand.py:185-288 (ID-only mode).
+
+Every batch has identical static shapes (jit compiles once):
+  user_identity_id  (B,)        dense 1-based ids
+  photo_identity_id (B,)
+  label             (B, 40)     {1, 0, -1, -2}
+  vid_mask          (B, 40)     bool, True for real segments
+  row_mask          (B,)        bool, False for final-batch padding rows
+and in feature mode additionally
+  photo_lines       (B, 40)     int32 line ids into the feature table (-1 pad)
+  user_lines        (B, 100)    int32 line ids (-1 pad)
+  user_mask         (B, 100)    bool
+
+The final partial batch is padded (not dropped, not ragged): padded rows carry
+all -2 labels and row_mask False, and every loss/metric in the framework is
+row_mask-aware, so results match the reference's ragged final batch exactly
+while keeping one compiled shape.
+
+Feature batches carry *indices*, not features — the feature table lives in
+HBM and the gather happens on device (see feature_store.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from .labels import MAX_SEGMENTS
+from .reader import InteractionTable, SeqReader
+from .feature_store import FeatureStore
+
+USER_MAX_SEGMENTS = 100  # dataloader_SegMM.py:199
+
+
+class BatchIterator:
+    def __init__(self, reader: SeqReader, table: InteractionTable,
+                 batch_size: int, shuffle: bool = False,
+                 feature_store: Optional[FeatureStore] = None,
+                 seed: int = 2024, pad_final: bool = True,
+                 user_max: int = USER_MAX_SEGMENTS):
+        self.reader = reader
+        self.table = table
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.store = feature_store
+        self.rng = np.random.default_rng(seed)
+        self.pad_final = pad_final
+        self.user_max = user_max
+        # warm-up line ids are per-user constants; cache them
+        self._warmup_cache: Dict[int, np.ndarray] = {}
+
+    def __len__(self) -> int:
+        n = len(self.table)
+        if self.pad_final:
+            return -(-n // self.batch_size)
+        return n // self.batch_size
+
+    # ------------------------------------------------------------------
+    def _warmup_lines(self, uid: int) -> np.ndarray:
+        if uid not in self._warmup_cache:
+            frames = self.reader.user_input_dict.get(str(int(uid)), [])
+            self._warmup_cache[uid] = self.store.warmup_line_ids(frames)
+        return self._warmup_cache[uid]
+
+    def _user_lines(self, uid: int, position: int) -> np.ndarray:
+        """Candidate pool = played segments of the (truncated) history plus
+        the warm-up pool, randomly subsampled to user_max
+        (dataloader_SegMM.py:319-350)."""
+        items, playing = self.reader.history_slice(uid, position)
+        chunks = [self.store.played_line_ids(pid, pt)
+                  for pid, pt in zip(items, playing)]
+        chunks.append(self._warmup_lines(uid))
+        cand = np.concatenate(chunks) if chunks else np.zeros(0, np.int32)
+        if len(cand) > self.user_max:
+            idx = self.rng.choice(len(cand), self.user_max, replace=False)
+            cand = cand[idx]
+        return cand
+
+    def _assemble(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        t = self.table
+        n_real = len(idx)
+        B = self.batch_size if self.pad_final else n_real
+        batch: Dict[str, np.ndarray] = {}
+
+        label = np.full((B, MAX_SEGMENTS), -2, dtype=np.int32)
+        label[:n_real] = t.labels[idx]
+        uid = np.zeros(B, np.int32)
+        uid[:n_real] = t.user_idx[idx]
+        iid = np.zeros(B, np.int32)
+        iid[:n_real] = t.item_idx[idx]
+        row_mask = np.zeros(B, bool)
+        row_mask[:n_real] = True
+
+        batch["label"] = label
+        batch["user_identity_id"] = uid
+        batch["photo_identity_id"] = iid
+        batch["vid_mask"] = label != -2
+        batch["row_mask"] = row_mask
+        # host-side metadata (cold/hot splits, logit export keys)
+        batch["user_raw"] = np.concatenate(
+            [t.user_raw[idx], np.zeros(B - n_real, np.int64)])
+        batch["video_raw"] = np.concatenate(
+            [t.video_raw[idx], np.zeros(B - n_real, np.int64)])
+        batch["time_ms"] = np.concatenate(
+            [t.time_ms[idx], np.zeros(B - n_real, np.int64)])
+
+        if self.store is not None:
+            photo_lines = np.full((B, MAX_SEGMENTS), -1, np.int32)
+            user_lines = np.full((B, self.user_max), -1, np.int32)
+            user_mask = np.zeros((B, self.user_max), bool)
+            for bi, ri in enumerate(idx):
+                n_frames = int((t.labels[ri] != -2).sum())
+                pl = self.store.photo_line_ids(int(t.video_raw[ri]), n_frames)
+                photo_lines[bi, :len(pl)] = pl
+                ul = self._user_lines(int(t.user_raw[ri]),
+                                      int(t.position[ri]))
+                m = min(len(ul), self.user_max)
+                user_lines[bi, :m] = ul[:m]
+                user_mask[bi, :m] = True
+            batch["photo_lines"] = photo_lines
+            batch["user_lines"] = user_lines
+            batch["user_mask"] = user_mask
+        else:
+            # ID mode: the user stream is the single id token; the model
+            # forces its mask to ones (segformerx.py rank-1 path)
+            batch["user_mask"] = np.ones((B, 1), bool)
+        return batch
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self.table))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        bs = self.batch_size
+        for start in range(0, len(order), bs):
+            idx = order[start:start + bs]
+            if len(idx) < bs and not self.pad_final:
+                return
+            yield self._assemble(idx)

@@ -1,0 +1,343 @@
+"""SegFormerX — the dual-stream (user x video) segment transformer.
+
+Behavioral spec: /root/reference/MMinterest/models/encoder.py (SegFormerX,
+SegFormerXEncoder, SegFormerXEncoderLayer, SegFormerXAttention). This is a
+TPU-first re-design, not a translation:
+
+* All shapes are static: video is always (B, Lv=40) segments, user is
+  (B, Lu<=100) segments or (B, 1) id tokens; padding is mask-aware.
+* The four attention streams (v2v, t2v, v2t, t2t) are expressed as two
+  concat-KV attentions whose matmuls XLA tiles directly onto the MXU.
+* All experiments in the reference run with sr_ratio=1 and
+  use_patch_merge=False (main_for_seq_leave_earlystop_SegMM.py:94); the conv
+  down-sampling pyramid is therefore not replicated — the layer stack is the
+  uniform-width path the paper actually uses.
+
+Faithful quirks (kept deliberately, documented in PARITY.md):
+* Attention logits are mask-filled with -10000.0 *before* the 1/sqrt(d_head)
+  scaling (encoder.py:71 then :117,146).
+* Dropout is applied to attention *logits*, not probabilities (encoder.py:116).
+* ``output_layers=[-1]`` selects the *input* of the last encoder layer
+  (encoder.py:316-319): intermediate_states[i] is the input to layer i, so the
+  final layer's video output is discarded by the reference. We therefore only
+  run the layers whose outputs are observable — identical math, less compute.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..core.numerics import MASK_FILL_VALUE, masked_attention_logits
+
+# Reference init: every Linear/Embedding weight ~ N(0, 0.02), biases zero
+# (encoder.py:414-423).
+DENSE_INIT = nn.initializers.normal(stddev=0.02)
+LN_EPS = 1e-12
+
+
+class KnMLP(nn.Module):
+    """n-layer MLP with activation+dropout between layers, none after the last
+    (kn_util/nn_utils/layers/mlp.py:1-24)."""
+    dims: Sequence[int]
+    activation: str = "gelu"
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool):
+        act = {"relu": nn.relu, "gelu": nn.gelu}[self.activation]
+        n = len(self.dims) - 1
+        for i in range(n):
+            x = nn.Dense(self.dims[i + 1], kernel_init=DENSE_INIT,
+                         name=f"layer_{i}")(x)
+            if i != n - 1:
+                x = act(x)
+                x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class MLPBlock(nn.Module):
+    """FuxiCTR-style MLP block used by the CrossMLP/SelfMLP ablations and the
+    SegRec backbones (encoder.py:210-252). ReLU, optional norms, output head."""
+    input_dim: int
+    hidden_units: Sequence[int]
+    output_dim: Optional[int] = None
+    dropout: float = 0.0
+    batch_norm: bool = False
+    layer_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool):
+        for i, h in enumerate(self.hidden_units):
+            x = nn.Dense(h, kernel_init=DENSE_INIT, name=f"dense_{i}")(x)
+            if self.layer_norm:
+                x = nn.LayerNorm(epsilon=1e-5, name=f"ln_{i}")(x)
+            x = nn.relu(x)
+            if self.dropout > 0:
+                x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        if self.output_dim is not None:
+            x = nn.Dense(self.output_dim, kernel_init=DENSE_INIT,
+                         name="dense_out")(x)
+        return x
+
+
+class FourStreamAttention(nn.Module):
+    """v2v / t2v / v2t / t2t attention with per-stream QKV projections and
+    concatenated KV for the user<->video cross streams (encoder.py:12-175)."""
+    d_model: int
+    num_heads: int
+    dropout: float = 0.1
+    ablation: str = "ours"
+
+    def _split_heads(self, x):
+        b, l, _ = x.shape
+        return x.reshape(b, l, self.num_heads, self.d_model // self.num_heads)
+
+    @nn.compact
+    def __call__(self, vid_feat, vid_mask, usr_feat, usr_mask, *,
+                 deterministic: bool):
+        d = self.d_model
+        dh = d // self.num_heads
+
+        def proj(name):
+            # clones(nn.Linear, 3) -> q/k/v projections (encoder.py:17-20)
+            return [nn.Dense(d, kernel_init=DENSE_INIT, name=f"{name}_{i}")
+                    for i in range(3)]
+
+        t2v = proj("t2v_proj")
+        v2v = proj("v2v_proj")
+        t2t = proj("t2t_proj")
+        v2t = proj("v2t_proj")
+        drop = nn.Dropout(self.dropout)
+
+        def attn_logits(feat_k, mask_k, feat_q, mask_q, p):
+            q = self._split_heads(p[0](feat_q))
+            k = self._split_heads(p[1](feat_k))
+            return masked_attention_logits(q, k, mask_q, mask_k)
+
+        v2v_value = self._split_heads(v2v[2](vid_feat))
+        t2v_value = self._split_heads(t2v[2](usr_feat))
+        v2t_value = self._split_heads(v2t[2](vid_feat))
+        t2t_value = self._split_heads(t2t[2](usr_feat))
+
+        if "CrossAtt" in self.ablation:
+            v_logits = attn_logits(usr_feat, usr_mask, vid_feat, vid_mask, t2v)
+            t_logits = attn_logits(vid_feat, vid_mask, usr_feat, usr_mask, v2t)
+            v_value, t_value = t2v_value, v2t_value
+        elif "SelfAtt" in self.ablation:
+            v_logits = attn_logits(vid_feat, vid_mask, vid_feat, vid_mask, v2v)
+            t_logits = attn_logits(usr_feat, usr_mask, usr_feat, usr_mask, t2t)
+            v_value, t_value = v2v_value, t2t_value
+        else:
+            v2v_l = attn_logits(vid_feat, vid_mask, vid_feat, vid_mask, v2v)
+            t2v_l = attn_logits(usr_feat, usr_mask, vid_feat, vid_mask, t2v)
+            v2t_l = attn_logits(vid_feat, vid_mask, usr_feat, usr_mask, v2t)
+            t2t_l = attn_logits(usr_feat, usr_mask, usr_feat, usr_mask, t2t)
+            v_logits = jnp.concatenate([v2v_l, t2v_l], axis=-1)
+            t_logits = jnp.concatenate([v2t_l, t2t_l], axis=-1)
+            v_value = jnp.concatenate([v2v_value, t2v_value], axis=1)
+            t_value = jnp.concatenate([v2t_value, t2t_value], axis=1)
+
+        # dropout on logits, then scale, then softmax (encoder.py:116-150)
+        scale = 1.0 / jnp.sqrt(jnp.asarray(dh, v_logits.dtype))
+        v_probs = jax.nn.softmax(
+            drop(v_logits, deterministic=deterministic) * scale, axis=-1)
+        t_probs = jax.nn.softmax(
+            drop(t_logits, deterministic=deterministic) * scale, axis=-1)
+
+        vid_out = jnp.einsum("bhqk,bkhd->bqhd", v_probs, v_value)
+        usr_out = jnp.einsum("bhqk,bkhd->bqhd", t_probs, t_value)
+        b = vid_feat.shape[0]
+        vid_out = vid_out.reshape(b, vid_feat.shape[1], d)
+        usr_out = usr_out.reshape(b, usr_feat.shape[1], d)
+
+        usr_out = drop(nn.Dense(d, kernel_init=DENSE_INIT, name="ff_usr")(usr_out),
+                       deterministic=deterministic)
+        vid_out = drop(nn.Dense(d, kernel_init=DENSE_INIT, name="ff_vid")(vid_out),
+                       deterministic=deterministic)
+
+        vid_feat = nn.LayerNorm(epsilon=LN_EPS, name="ln_vid")(vid_feat + vid_out)
+        if "SelfAtt" in self.ablation:
+            return vid_feat, None
+        usr_feat = nn.LayerNorm(epsilon=LN_EPS, name="ln_usr")(usr_feat + usr_out)
+        return vid_feat, usr_feat
+
+
+class SegFormerXLayer(nn.Module):
+    """Attention + per-stream GELU MLP FFN with post-LN residuals
+    (encoder.py:178-208)."""
+    d_model: int
+    num_heads: int
+    ff_dim: int
+    dropout: float = 0.1
+    ablation: str = "ours"
+
+    @nn.compact
+    def __call__(self, usr_feat, usr_mask, vid_feat, vid_mask,
+                 deterministic: bool):
+        vid_feat, usr_feat = FourStreamAttention(
+            d_model=self.d_model, num_heads=self.num_heads,
+            dropout=self.dropout, ablation=self.ablation, name="cross_attn")(
+                vid_feat, vid_mask, usr_feat, usr_mask,
+                deterministic=deterministic)
+        drop = nn.Dropout(self.dropout)
+        ff_vid = KnMLP([self.d_model, self.ff_dim, self.d_model],
+                       activation="gelu", dropout=self.dropout, name="ff_vid")
+        vid_new = drop(ff_vid(vid_feat, deterministic=deterministic),
+                       deterministic=deterministic)
+        vid_feat = nn.LayerNorm(epsilon=LN_EPS, name="ln_vid")(vid_feat + vid_new)
+        if usr_feat is not None:
+            ff_usr = KnMLP([self.d_model, self.ff_dim, self.d_model],
+                           activation="gelu", dropout=self.dropout, name="ff_usr")
+            usr_new = drop(ff_usr(usr_feat, deterministic=deterministic),
+                           deterministic=deterministic)
+            usr_feat = nn.LayerNorm(epsilon=LN_EPS, name="ln_usr")(usr_feat + usr_new)
+        return vid_feat, usr_feat
+
+
+def _adaptive_avg_pool_seq(x: jax.Array, out_len: int) -> jax.Array:
+    """torch AdaptiveAvgPool1d over the sequence axis of (B, L, D).
+
+    Window i averages positions [floor(i*L/out), ceil((i+1)*L/out)). Static
+    shapes, so the gather matrix is a compile-time constant.
+    """
+    L = x.shape[1]
+    import numpy as np
+    w = np.zeros((out_len, L), dtype=np.float32)
+    for i in range(out_len):
+        s = (i * L) // out_len
+        e = -((-(i + 1) * L) // out_len)  # ceil
+        w[i, s:e] = 1.0 / (e - s)
+    return jnp.einsum("ol,bld->bod", jnp.asarray(w, x.dtype), x)
+
+
+class SegFormerX(nn.Module):
+    """The full encoder: input projections (+PE, LN, dropout), N dual-stream
+    layers, ablation paths (encoder.py:327-520).
+
+    Input modes (resolved by array rank, like the reference):
+      video:  (B, Lv, Dv) float features     -> Dense(Dv -> d)
+              (B,) or (B, Lv) int ids        -> Embed(d/2) ++ Dense(pos -> d/2)
+      user:   (B, Lu, Du) float features     -> Dense(Du -> d)
+              (B,) or (B, Lu) int ids        -> Embed(d)   (mask forced to ones
+                                                for the (B,) -> (B,1) case)
+    """
+    d_model: int
+    num_heads: int
+    num_layers: int
+    ff_dim: int
+    max_vid_len: int = 40
+    max_usr_len: int = 100
+    dropout: float = 0.1
+    user_id_max: int = -1    # -1 => user input is features
+    video_id_max: int = -1   # -1 => video input is features
+    use_pe: bool = True
+    ablation: str = "ours"
+    output_layers: Optional[Sequence[int]] = None  # default [-1] like drivers
+    dtype: Any = jnp.float32
+    # rematerialize each encoder layer on backward: the four attention
+    # streams' (B, H, Lq, Lk) logit tensors dominate HBM at production batch
+    # sizes; recomputing them costs ~1/3 extra FLOPs and cuts live activation
+    # memory to ~one layer
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, usr_feat, usr_mask, vid_feat, vid_mask, *,
+                 deterministic: bool = True):
+        d = self.d_model
+        drop = nn.Dropout(self.dropout)
+
+        # ---- normalize input ranks (encoder.py:478-488) ----
+        if usr_feat.ndim == 1:
+            usr_feat = usr_feat[:, None]
+            usr_mask = jnp.ones(usr_feat.shape[:2], dtype=bool)
+        if vid_feat.ndim == 1:
+            vid_feat = jnp.tile(vid_feat[:, None], (1, self.max_vid_len))
+        usr_mask = usr_mask.astype(bool)
+        vid_mask = vid_mask.astype(bool)
+        B = vid_feat.shape[0]
+        Lv = vid_feat.shape[1]
+
+        # ---- input projections (encoder.py:352-362,425-445) ----
+        if self.video_id_max >= 0:
+            vid_emb = nn.Embed(self.video_id_max + 1, d // 2,
+                               embedding_init=DENSE_INIT, name="vid_proj")(vid_feat)
+            if "noPos" in self.ablation and not deterministic:
+                key = self.make_rng("permute")
+                positions = jax.vmap(
+                    lambda k: jax.random.permutation(k, Lv))(
+                        jax.random.split(key, B)).astype(self.dtype)
+            else:
+                positions = jnp.tile(
+                    jnp.arange(Lv, dtype=self.dtype)[None, :], (B, 1))
+            frame_emb = nn.Dense(d // 2, kernel_init=DENSE_INIT,
+                                 name="frameid_proj")(positions[..., None])
+            vid_x = jnp.concatenate([vid_emb, frame_emb], axis=-1)
+        else:
+            vid_x = nn.Dense(d, kernel_init=DENSE_INIT, name="vid_proj")(
+                vid_feat.astype(self.dtype))
+
+        if self.user_id_max >= 0:
+            usr_x = nn.Embed(self.user_id_max + 1, d,
+                             embedding_init=DENSE_INIT, name="usr_proj")(usr_feat)
+        else:
+            usr_x = nn.Dense(d, kernel_init=DENSE_INIT, name="usr_proj")(
+                usr_feat.astype(self.dtype))
+
+        # ---- learned positional embeddings + LN + dropout (425-473) ----
+        vid_pe_table = self.param("vid_pe", DENSE_INIT, (self.max_vid_len, d),
+                                  self.dtype)
+        usr_pe_table = self.param("usr_pe", DENSE_INIT, (self.max_usr_len, d),
+                                  self.dtype)
+        if self.use_pe:
+            vid_x = vid_x + vid_pe_table[None, :vid_x.shape[1]]
+            usr_x = usr_x + usr_pe_table[None, :usr_x.shape[1]]
+        vid_x = drop(nn.LayerNorm(epsilon=LN_EPS, name="vid_ln")(vid_x),
+                     deterministic=deterministic)
+        usr_x = drop(nn.LayerNorm(epsilon=LN_EPS, name="usr_ln")(usr_x),
+                     deterministic=deterministic)
+
+        # ---- ablation MLP paths (encoder.py:503-511) ----
+        if self.ablation == "CrossMLP":
+            hidden = [d] * max(self.num_layers - 4, 0)
+            out = MLPBlock(input_dim=d, hidden_units=hidden, output_dim=d,
+                           dropout=self.dropout, name="encoder_mlp")(
+                jnp.concatenate([usr_x, vid_x], axis=-2),
+                deterministic=deterministic)
+            return [_adaptive_avg_pool_seq(out, self.max_vid_len)], usr_x
+        if self.ablation == "SelfMLP":
+            hidden = [d] * max(self.num_layers - 2, 0)
+            out = MLPBlock(input_dim=d, hidden_units=hidden, output_dim=d,
+                           dropout=self.dropout, name="encoder_mlp")(
+                vid_x, deterministic=deterministic)
+            return [out], usr_x
+        if self.ablation == "w/oAtt":
+            return [vid_x], usr_x
+
+        # ---- encoder stack (encoder.py:302-324) ----
+        # intermediate_states[i] is the INPUT to layer i; output_layers indexes
+        # into that list, so only layers 0..max(output_layers)-1 are observable.
+        output_layers = list(self.output_layers) if self.output_layers is not None \
+            else list(range(self.num_layers))
+        wanted = sorted({i % self.num_layers for i in output_layers})
+        n_run = max(wanted) if wanted else 0
+
+        layer_cls = (nn.remat(SegFormerXLayer, static_argnums=(5,))
+                     if self.remat else SegFormerXLayer)
+        states = [vid_x]
+        usr_cur = usr_x
+        for i in range(n_run):
+            vid_next, usr_next = layer_cls(
+                d_model=d, num_heads=self.num_heads, ff_dim=self.ff_dim,
+                dropout=self.dropout, ablation=self.ablation,
+                name=f"layer_{i}")(usr_cur, usr_mask, states[-1], vid_mask,
+                                   deterministic)
+            states.append(vid_next)
+            if usr_next is not None:
+                usr_cur = usr_next
+
+        selected = [states[i % self.num_layers] for i in output_layers]
+        return selected, usr_cur

@@ -1,0 +1,96 @@
+"""Configuration for the segment-interest task.
+
+One dataclass tree replaces the reference's argparse sprawl
+(/root/reference/MMinterest/main_for_seq_leave_earlystop_SegMM.py:474-576);
+field names and defaults mirror the reference flags so published run
+configurations translate 1:1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+
+@dataclass
+class InterestConfig:
+    # data
+    path: str = "SegMM/"
+    sep: str = "\t"
+    history_max: int = 50
+    sample_csv: Optional[str] = None  # single-csv mode (sample data)
+
+    # batching
+    train_batch_size: int = 1024
+    valid_batch_size: int = 1024
+    test_batch_size: int = 1024
+
+    # model (main_…SegMM.py:488-527)
+    d_model: int = 512
+    nhead: int = 16
+    num_layers_enc: int = 6
+    dropout: float = 0.1
+    user_input_type: str = "both"   # id | image | both
+    photo_input_type: str = "both"
+    fusion_heads: int = 2
+    learnable_bias: bool = False
+    use_pe: bool = True
+    ablation_type: str = "ours"
+
+    # optimization
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-4
+    grad_clip_norm: float = 10.0
+    epochs: int = 30
+    seed: int = 42
+
+    # losses
+    loss_type: str = "interestBPR"
+    loss_weight: Dict[str, float] = field(default_factory=lambda: {
+        "focal": 1.0, "mse": 1.0, "hazard": 1.0, "surviveCE": 1.0,
+        "interestBPR": 1.0, "interestCE": 1.0, "interestKL": 1.0})
+    mask_loss: bool = False
+    exposure_prob_type: str = "ones"  # ones | statistics
+    exposure_prob: Optional[List[float]] = None
+
+    # eval / early stop
+    valid_step: int = 30
+    logging_step: int = 10
+    early_stop: int = 20
+    main_metrics: str = "HR@5"
+    eval_type_list: str = "JaccardSim,LeaveMSE,LeaveCTR,LeaveCTR_view,TOP_K"
+    top_k_permutation: bool = True
+    top_k_mask: bool = False
+    threshold: float = 0.5
+    eval_cold: str = ""  # "" | "test"
+    test_model: bool = True
+    save_logits: bool = False
+
+    # engine
+    ckpt_dir: str = "ckpts_SegMM"
+    debug: bool = False
+    compute_dtype: str = "float32"   # float32 | bfloat16
+    remat: bool = True               # rematerialize encoder layers on backward
+    n_devices: Optional[int] = None  # None => all visible
+
+    @property
+    def loss_type_list(self) -> List[str]:
+        return [s.strip() for s in self.loss_type.split(",") if s.strip()]
+
+    @property
+    def eval_types(self) -> List[str]:
+        return [s.strip() for s in self.eval_type_list.split(",") if s.strip()]
+
+    def param_dir(self) -> str:
+        """Run-identifying directory name (reference :216)."""
+        return (f"{self.num_layers_enc}_{self.exposure_prob_type}_"
+                f"{self.learning_rate}_{self.weight_decay}_"
+                f"{int(self.learnable_bias)}_{self.loss_type}_"
+                f"{self.loss_weight.get('interestBPR', 1.0)}_"
+                f"{self.user_input_type}_{self.photo_input_type}_"
+                f"{int(self.mask_loss)}_{int(self.use_pe)}_"
+                f"{self.fusion_heads}_earlystop_focal")
+
+    def replace(self, **kw) -> "InterestConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,75 @@
+"""End-to-end smoke: reader -> batcher -> engine -> checkpoint -> test metrics
+on the published sample csv (BASELINE.json config #1, CPU-runnable)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from segmminterest_tpu.data.reader import SeqReader
+from segmminterest_tpu.engine.train import run_training
+from segmminterest_tpu.utils.config import InterestConfig
+
+SAMPLE = "/root/reference/SegMM_inter_sample.csv"
+
+
+@pytest.fixture(scope="module")
+def sample_reader():
+    # lower thresholds so the 10k-row sample yields all three splits
+    return SeqReader.from_single_csv(SAMPLE, min_interactions=30,
+                                     num_warmup=10)
+
+
+def test_reader_builds_consistent_tables(sample_reader):
+    r = sample_reader
+    assert r.n_users > 0 and r.n_items > 0
+    for split in ("train", "dev", "test"):
+        t = r.tables[split]
+        assert len(t) > 0
+        assert t.labels.shape == (len(t), 40)
+        assert set(np.unique(t.labels)) <= {1, 0, -1, -2}
+        assert (t.user_idx > 0).all() and (t.item_idx > 0).all()
+        assert t.user_idx.max() <= r.n_users
+        assert t.item_idx.max() <= r.n_items
+    # histories are consistent: position is within the user's sequence
+    t = r.tables["train"]
+    for i in range(0, len(t), max(1, len(t) // 37)):
+        items, playing = r.history_slice(t.user_raw[i], t.position[i])
+        assert len(items) == len(playing) <= r.history_max
+
+
+def test_batch_iterator_shapes(sample_reader):
+    from segmminterest_tpu.data.dataset import BatchIterator
+    it = BatchIterator(sample_reader, sample_reader.tables["dev"], 64,
+                       shuffle=False)
+    batches = list(it)
+    assert all(b["label"].shape == (64, 40) for b in batches)
+    n_real = sum(int(b["row_mask"].sum()) for b in batches)
+    assert n_real == len(sample_reader.tables["dev"])
+    # padded rows are fully masked
+    last = batches[-1]
+    assert (last["label"][~last["row_mask"]] == -2).all()
+
+
+def test_training_end_to_end(tmp_path, sample_reader):
+    cfg = InterestConfig(
+        sample_csv=SAMPLE, d_model=32, nhead=4, num_layers_enc=2,
+        user_input_type="id", photo_input_type="id", fusion_heads=2,
+        train_batch_size=128, valid_batch_size=128, test_batch_size=128,
+        epochs=1, valid_step=5, logging_step=100, early_stop=0,
+        loss_type="interestBPR,focal", exposure_prob=[1.0] * 40,
+        eval_type_list="JaccardSim,LeaveMSE,LeaveCTR,LeaveCTR_view,TOP_K",
+        ckpt_dir=str(tmp_path), debug=True, eval_cold="test")
+    result = run_training(cfg, sample_reader)
+    assert result["steps"] > 0
+    tm = result["test_metrics"]
+    for key in ("HR@5", "NDCG@5", "JaccardSim", "LeaveMSE", "LeaveCTR"):
+        assert key in tm and np.isfinite(tm[key]), key
+    assert 0.0 <= tm["HR@5"] <= 1.0
+    assert "cold_test_metrics" in result
+    # checkpoints on disk: latest + one best
+    files = os.listdir(result["work_dir"])
+    assert any(f.startswith("ckpt-latest") for f in files)
+    assert any(f.startswith("ckpt-best") for f in files)
+    # validation metric history recorded
+    assert len(result["valid_metrics"]["HR@5"]) >= 2
