@@ -78,7 +78,7 @@ def main():
     batches = [make_batch(rng, BATCH) for _ in range(4)]
     state = engine.init_state(jax.random.PRNGKey(0), batches[0])
 
-    key = jax.random.PRNGKey(1)
+    key = jax.random.key(1, impl=cfg.rng_impl)
     for i in range(WARMUP_STEPS):
         key, k = jax.random.split(key)
         state, loss_dict = engine.train_step(state, k, batches[i % 4])

@@ -99,6 +99,14 @@ class BatchIterator:
         batch["label"] = label
         batch["user_identity_id"] = uid
         batch["photo_identity_id"] = iid
+        # segment-count fields for the watch-time tasks
+        # (dataloader_SegMM.py:296: int(play/5000), int(duration/5000))
+        play_time = np.zeros(B, np.int32)
+        play_time[:n_real] = (t.playing_time[idx] // 5000).astype(np.int32)
+        duration_seg = np.zeros(B, np.int32)
+        duration_seg[:n_real] = (t.duration_ms[idx] // 5000).astype(np.int32)
+        batch["play_time"] = play_time
+        batch["duration"] = duration_seg
         batch["vid_mask"] = label != -2
         batch["row_mask"] = row_mask
         # host-side metadata (cold/hot splits, logit export keys)

@@ -51,6 +51,21 @@ class InteractionTable:
         return len(self.user_raw)
 
 
+def normalize_columns(df: pd.DataFrame) -> pd.DataFrame:
+    """Unify the SegMM / KuaiRand column dialects
+    (dataloader_SegMM.py:73 'playing_time_x' vs dataloader_KuaiRand.py:73
+    'play_time_ms_x'): photo_id -> video_id, play_time_ms -> playing_time,
+    and strip the pandas merge suffixes the reference caches carry."""
+    renames = {}
+    for cand in ("photo_id",):
+        if cand in df.columns and "video_id" not in df.columns:
+            renames[cand] = "video_id"
+    for cand in ("play_time_ms", "playing_time_x", "play_time_ms_x"):
+        if cand in df.columns and "playing_time" not in df.columns:
+            renames[cand] = "playing_time"
+    return df.rename(columns=renames) if renames else df
+
+
 def _labels_from_df(df: pd.DataFrame) -> np.ndarray:
     out = np.full((len(df), MAX_SEGMENTS), -2, dtype=np.int32)
     if "label_1D" in df.columns:
@@ -201,7 +216,8 @@ class SeqReader:
                  dict_path: str = "user_input_dict.json") -> "SeqReader":
         split_dfs = {}
         for key in ("train", "dev", "test"):
-            split_dfs[key] = pd.read_csv(osp.join(path, key + ".csv"), sep=sep)
+            split_dfs[key] = normalize_columns(
+                pd.read_csv(osp.join(path, key + ".csv"), sep=sep))
         user_input_dict = None
         p = osp.join(path, dict_path)
         if osp.exists(p):
@@ -222,7 +238,7 @@ class SeqReader:
     def from_single_csv(cls, path: str, sep: str = ",", history_max: int = 50,
                         min_interactions: int = MIN_INTERACTIONS,
                         num_warmup: int = NUM_WARMUP) -> "SeqReader":
-        df = pd.read_csv(path, sep=sep)
+        df = normalize_columns(pd.read_csv(path, sep=sep))
         parts = split_interactions(df, num_warmup=num_warmup,
                                    min_interactions=min_interactions)
         # warm-up dict: uid -> ["{photo}_{frame}" ...] over played segments

@@ -223,6 +223,38 @@ def main_eval_batch(interests, ground_truths, results_list: Dict[str, list],
     return results_list
 
 
+def compute_final_result_watchtime(results_list: Dict[str, list],
+                                   sample_count: Optional[int] = None
+                                   ) -> Dict[str, object]:
+    """Watch-time aggregation (main_for_WatchTime_Ours_SegMM.py:181-226):
+    LeaveMSE -> (MSE, MAE) of the survival-sum view length, TOP1MSE ->
+    (MSE, MAE) of the argmin-interest position, MAES normalized by sample
+    count, pred_leave -> (MSE, MAE)."""
+    final: Dict[str, object] = {}
+    vl = np.asarray(results_list.get("view_lengths", []), dtype=np.float64)
+    if "LeaveMSE" in results_list and len(vl):
+        pred = np.asarray(results_list["LeaveMSE"], dtype=np.float64)
+        final["LeaveMSE"] = (float(((vl - pred) ** 2).mean()),
+                             float(np.abs(vl - pred).mean()))
+    if "TOP1MSE" in results_list and results_list["TOP1MSE"]:
+        pred = np.concatenate(results_list["TOP1MSE"]).astype(np.float64)
+        final["TOP1MSE"] = (float(((vl - pred) ** 2).mean()),
+                            float(np.abs(vl - pred).mean()))
+    if "MAES" in results_list and results_list["MAES"] and sample_count:
+        final["MAES"] = [m / sample_count for m in results_list["MAES"]]
+    if "pred_leave" in results_list and results_list["pred_leave"]:
+        pred = np.asarray(results_list["pred_leave"], dtype=np.float64)
+        final["pred_leave"] = (float(((vl - pred) ** 2).mean()),
+                               float(np.abs(vl - pred).mean()))
+    for key, vals in results_list.items():
+        if key in ("TOP_K", "LeaveMSE", "view_lengths", "duration_lengths",
+                   "pred_leave", "TOP1MSE", "MAES"):
+            continue
+        if isinstance(vals, list) and vals:
+            final[key] = float(sum(vals) / len(vals))
+    return final
+
+
 def compute_final_result(results_list: Dict[str, list]) -> Dict[str, float]:
     """Aggregate per-batch/per-row accumulators into final scalars
     (main_for_seq_leave_earlystop_SegMM.py:188-210)."""

@@ -41,13 +41,15 @@ from ..models.interest import SegInterestModel
 from ..models.losses import compute_loss_dict
 from ..utils.config import InterestConfig
 from .checkpoint import CheckPointer
-from .evaluation import (compute_final_result, main_eval_batch,
-                         make_results_list, top_k_leave, top_k_leave_mask)
+from .evaluation import (compute_final_result, compute_final_result_watchtime,
+                         main_eval_batch, make_results_list, top_k_leave,
+                         top_k_leave_mask)
 
 logger = logging.getLogger(__name__)
 
 DEVICE_KEYS = ("label", "user_identity_id", "photo_identity_id", "vid_mask",
-               "user_mask", "row_mask", "photo_lines", "user_lines")
+               "user_mask", "row_mask", "photo_lines", "user_lines",
+               "play_time", "duration")
 
 
 def device_batch(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
@@ -240,7 +242,7 @@ def run_training(config: InterestConfig, reader: SeqReader,
     valid_iter = make_iter("dev", cfg.valid_batch_size, False, cfg.seed)
     test_iter = make_iter("test", cfg.test_batch_size, False, cfg.seed)
 
-    rng = jax.random.PRNGKey(cfg.seed)
+    rng = jax.random.key(cfg.seed, impl=cfg.rng_impl)
     eval_rng = np.random.default_rng(cfg.seed)
     example = next(iter(valid_iter)) if len(valid_iter) else next(iter(train_iter))
     state = engine.init_state(rng, example)
@@ -330,6 +332,13 @@ def run_training(config: InterestConfig, reader: SeqReader,
         results_list = make_results_list(cfg.eval_types)
         cold_results = make_results_list(cfg.eval_types) if cfg.eval_cold else None
         hot_results = make_results_list(cfg.eval_types) if cfg.eval_cold else None
+        if cfg.watchtime_metrics:
+            for rl in (results_list, cold_results, hot_results):
+                if rl is not None:
+                    rl["duration_lengths"] = []
+                    rl["TOP1MSE"] = []
+                    rl["MAES"] = []
+                    rl["pred_leave"] = []
         saved_logits = [] if cfg.save_logits else None
         for local_step, batch in enumerate(test_iter):
             if cfg.debug and local_step > 3:
@@ -346,6 +355,8 @@ def run_training(config: InterestConfig, reader: SeqReader,
             main_eval_batch(interests, gt, results_list,
                             top_k_mask=cfg.top_k_mask,
                             top_k_permutation=cfg.top_k_permutation,
+                            logits=(np.asarray(logits)[rm]
+                                    if cfg.watchtime_metrics else None),
                             rng=eval_rng)
             if cfg.eval_cold:
                 vids = batch["video_raw"][rm]
@@ -360,7 +371,12 @@ def run_training(config: InterestConfig, reader: SeqReader,
                                     top_k_mask=cfg.top_k_mask,
                                     top_k_permutation=cfg.top_k_permutation,
                                     rng=eval_rng)
-        result["test_metrics"] = compute_final_result(results_list)
+        if cfg.watchtime_metrics:
+            n_test = len(results_list.get("view_lengths", []))
+            result["test_metrics"] = compute_final_result_watchtime(
+                results_list, n_test)
+        else:
+            result["test_metrics"] = compute_final_result(results_list)
         if cfg.eval_cold:
             result["cold_test_metrics"] = compute_final_result(cold_results)
             result["hot_test_metrics"] = compute_final_result(hot_results)

@@ -41,26 +41,30 @@ class InteractionAggregation(nn.Module):
     y_dim: int
     output_dim: int = 1
     num_heads: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, y):
-        B, I = x.shape[0], x.shape[1]
+        # works over arbitrary leading dims: (B, I, D) in the interest model,
+        # (B, I, C, D) in ClipFinalMLPRec (ClipFinalMLPRec.py:277-303)
+        lead = x.shape[:-1]
         out = nn.Dense(self.output_dim, kernel_init=XAVIER_UNIFORM,
-                       name="w_x")(x) \
+                       dtype=self.dtype, name="w_x")(x) \
             + nn.Dense(self.output_dim, kernel_init=XAVIER_UNIFORM,
-                       name="w_y")(y)
+                       dtype=self.dtype, name="w_y")(y)
         if self.num_heads > 0:
             hx = self.x_dim // self.num_heads
             hy = self.y_dim // self.num_heads
             w_xy = self.param("w_xy", XAVIER_NORMAL,
                               (self.num_heads * hx * hy, self.output_dim))
-            head_x = x.reshape(B, I, self.num_heads, hx)
-            head_y = y.reshape(B, I, self.num_heads, hy)
+            head_x = x.reshape(lead + (self.num_heads, hx))
+            head_y = y.reshape(lead + (self.num_heads, hy))
+            w_xy = w_xy.astype(x.dtype)
             w = w_xy.reshape(self.num_heads, hx, hy * self.output_dim)
-            # xy[b,i,h,o] = sum_{p,q} x[b,i,h,p] W[h,p,q,o] y[b,i,h,q]
-            tmp = jnp.einsum("bihp,hpz->bihz", head_x, w)
-            tmp = tmp.reshape(B, I, self.num_heads, hy, self.output_dim)
-            xy = jnp.einsum("bihqo,bihq->bio", tmp, head_y)
+            # xy[..., h, o] = sum_{p,q} x[..., h, p] W[h,p,q,o] y[..., h, q]
+            tmp = jnp.einsum("...hp,hpz->...hz", head_x, w)
+            tmp = tmp.reshape(lead + (self.num_heads, hy, self.output_dim))
+            xy = jnp.einsum("...hqo,...hq->...o", tmp, head_y)
             out = out + xy
         return out.squeeze(-1) if self.output_dim == 1 else out
 
@@ -110,20 +114,22 @@ class SegInterestModel(nn.Module):
             self.backbone2 = make_backbone(u2_id, u2_len, v2_id, "backbone2")
             if self.fusion_heads in (-3, -2, 0):
                 self.stage_mlp1 = nn.Dense(1, kernel_init=XAVIER_UNIFORM,
-                                           name="stage_mlp1")
+                                           dtype=self.dtype, name="stage_mlp1")
                 if self.fusion_heads == 0:
                     self.stage_mlp2 = nn.Dense(1, kernel_init=XAVIER_UNIFORM,
+                                               dtype=self.dtype,
                                                name="stage_mlp2")
             elif self.fusion_heads == -1:
                 self.stage_mlp1 = nn.Dense(1, kernel_init=XAVIER_UNIFORM,
-                                           name="stage_mlp1")
+                                           dtype=self.dtype, name="stage_mlp1")
             else:
                 self.fusion_module = InteractionAggregation(
                     x_dim=self.d_model, y_dim=self.d_model, output_dim=1,
-                    num_heads=self.fusion_heads, name="fusion_module")
+                    num_heads=self.fusion_heads, dtype=self.dtype,
+                    name="fusion_module")
         else:
             self.stage_mlp1 = nn.Dense(1, kernel_init=XAVIER_UNIFORM,
-                                       name="stage_mlp1")
+                                       dtype=self.dtype, name="stage_mlp1")
         if self.learnable_bias:
             self.bias_weight = self.param(
                 "bias_weight", nn.initializers.ones, (1, self.max_vid_len))

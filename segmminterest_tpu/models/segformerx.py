@@ -45,6 +45,7 @@ class KnMLP(nn.Module):
     dims: Sequence[int]
     activation: str = "gelu"
     dropout: float = 0.1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool):
@@ -52,7 +53,7 @@ class KnMLP(nn.Module):
         n = len(self.dims) - 1
         for i in range(n):
             x = nn.Dense(self.dims[i + 1], kernel_init=DENSE_INIT,
-                         name=f"layer_{i}")(x)
+                         dtype=self.dtype, name=f"layer_{i}")(x)
             if i != n - 1:
                 x = act(x)
                 x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
@@ -68,11 +69,13 @@ class MLPBlock(nn.Module):
     dropout: float = 0.0
     batch_norm: bool = False
     layer_norm: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool):
         for i, h in enumerate(self.hidden_units):
-            x = nn.Dense(h, kernel_init=DENSE_INIT, name=f"dense_{i}")(x)
+            x = nn.Dense(h, kernel_init=DENSE_INIT, dtype=self.dtype,
+                         name=f"dense_{i}")(x)
             if self.layer_norm:
                 x = nn.LayerNorm(epsilon=1e-5, name=f"ln_{i}")(x)
             x = nn.relu(x)
@@ -80,7 +83,7 @@ class MLPBlock(nn.Module):
                 x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         if self.output_dim is not None:
             x = nn.Dense(self.output_dim, kernel_init=DENSE_INIT,
-                         name="dense_out")(x)
+                         dtype=self.dtype, name="dense_out")(x)
         return x
 
 
@@ -91,6 +94,7 @@ class FourStreamAttention(nn.Module):
     num_heads: int
     dropout: float = 0.1
     ablation: str = "ours"
+    dtype: Any = jnp.float32
 
     def _split_heads(self, x):
         b, l, _ = x.shape
@@ -104,7 +108,8 @@ class FourStreamAttention(nn.Module):
 
         def proj(name):
             # clones(nn.Linear, 3) -> q/k/v projections (encoder.py:17-20)
-            return [nn.Dense(d, kernel_init=DENSE_INIT, name=f"{name}_{i}")
+            return [nn.Dense(d, kernel_init=DENSE_INIT, dtype=self.dtype,
+                             name=f"{name}_{i}")
                     for i in range(3)]
 
         t2v = proj("t2v_proj")
@@ -141,12 +146,15 @@ class FourStreamAttention(nn.Module):
             v_value = jnp.concatenate([v2v_value, t2v_value], axis=1)
             t_value = jnp.concatenate([v2t_value, t2t_value], axis=1)
 
-        # dropout on logits, then scale, then softmax (encoder.py:116-150)
-        scale = 1.0 / jnp.sqrt(jnp.asarray(dh, v_logits.dtype))
+        # dropout on logits, then scale, then softmax (encoder.py:116-150);
+        # softmax reduces in fp32 for bf16 stability, probs cast back for AV
+        scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
         v_probs = jax.nn.softmax(
-            drop(v_logits, deterministic=deterministic) * scale, axis=-1)
+            drop(v_logits, deterministic=deterministic).astype(jnp.float32)
+            * scale, axis=-1).astype(self.dtype)
         t_probs = jax.nn.softmax(
-            drop(t_logits, deterministic=deterministic) * scale, axis=-1)
+            drop(t_logits, deterministic=deterministic).astype(jnp.float32)
+            * scale, axis=-1).astype(self.dtype)
 
         vid_out = jnp.einsum("bhqk,bkhd->bqhd", v_probs, v_value)
         usr_out = jnp.einsum("bhqk,bkhd->bqhd", t_probs, t_value)
@@ -154,9 +162,11 @@ class FourStreamAttention(nn.Module):
         vid_out = vid_out.reshape(b, vid_feat.shape[1], d)
         usr_out = usr_out.reshape(b, usr_feat.shape[1], d)
 
-        usr_out = drop(nn.Dense(d, kernel_init=DENSE_INIT, name="ff_usr")(usr_out),
+        usr_out = drop(nn.Dense(d, kernel_init=DENSE_INIT, dtype=self.dtype,
+                                name="ff_usr")(usr_out),
                        deterministic=deterministic)
-        vid_out = drop(nn.Dense(d, kernel_init=DENSE_INIT, name="ff_vid")(vid_out),
+        vid_out = drop(nn.Dense(d, kernel_init=DENSE_INIT, dtype=self.dtype,
+                                name="ff_vid")(vid_out),
                        deterministic=deterministic)
 
         vid_feat = nn.LayerNorm(epsilon=LN_EPS, name="ln_vid")(vid_feat + vid_out)
@@ -174,24 +184,28 @@ class SegFormerXLayer(nn.Module):
     ff_dim: int
     dropout: float = 0.1
     ablation: str = "ours"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, usr_feat, usr_mask, vid_feat, vid_mask,
                  deterministic: bool):
         vid_feat, usr_feat = FourStreamAttention(
             d_model=self.d_model, num_heads=self.num_heads,
-            dropout=self.dropout, ablation=self.ablation, name="cross_attn")(
+            dropout=self.dropout, ablation=self.ablation, dtype=self.dtype,
+            name="cross_attn")(
                 vid_feat, vid_mask, usr_feat, usr_mask,
                 deterministic=deterministic)
         drop = nn.Dropout(self.dropout)
         ff_vid = KnMLP([self.d_model, self.ff_dim, self.d_model],
-                       activation="gelu", dropout=self.dropout, name="ff_vid")
+                       activation="gelu", dropout=self.dropout,
+                       dtype=self.dtype, name="ff_vid")
         vid_new = drop(ff_vid(vid_feat, deterministic=deterministic),
                        deterministic=deterministic)
         vid_feat = nn.LayerNorm(epsilon=LN_EPS, name="ln_vid")(vid_feat + vid_new)
         if usr_feat is not None:
             ff_usr = KnMLP([self.d_model, self.ff_dim, self.d_model],
-                           activation="gelu", dropout=self.dropout, name="ff_usr")
+                           activation="gelu", dropout=self.dropout,
+                           dtype=self.dtype, name="ff_usr")
             usr_new = drop(ff_usr(usr_feat, deterministic=deterministic),
                            deterministic=deterministic)
             usr_feat = nn.LayerNorm(epsilon=LN_EPS, name="ln_usr")(usr_feat + usr_new)
@@ -264,7 +278,8 @@ class SegFormerX(nn.Module):
         # ---- input projections (encoder.py:352-362,425-445) ----
         if self.video_id_max >= 0:
             vid_emb = nn.Embed(self.video_id_max + 1, d // 2,
-                               embedding_init=DENSE_INIT, name="vid_proj")(vid_feat)
+                               embedding_init=DENSE_INIT, dtype=self.dtype,
+                               name="vid_proj")(vid_feat)
             if "noPos" in self.ablation and not deterministic:
                 key = self.make_rng("permute")
                 positions = jax.vmap(
@@ -274,18 +289,20 @@ class SegFormerX(nn.Module):
                 positions = jnp.tile(
                     jnp.arange(Lv, dtype=self.dtype)[None, :], (B, 1))
             frame_emb = nn.Dense(d // 2, kernel_init=DENSE_INIT,
+                                 dtype=self.dtype,
                                  name="frameid_proj")(positions[..., None])
             vid_x = jnp.concatenate([vid_emb, frame_emb], axis=-1)
         else:
-            vid_x = nn.Dense(d, kernel_init=DENSE_INIT, name="vid_proj")(
-                vid_feat.astype(self.dtype))
+            vid_x = nn.Dense(d, kernel_init=DENSE_INIT, dtype=self.dtype,
+                             name="vid_proj")(vid_feat.astype(self.dtype))
 
         if self.user_id_max >= 0:
             usr_x = nn.Embed(self.user_id_max + 1, d,
-                             embedding_init=DENSE_INIT, name="usr_proj")(usr_feat)
+                             embedding_init=DENSE_INIT, dtype=self.dtype,
+                             name="usr_proj")(usr_feat)
         else:
-            usr_x = nn.Dense(d, kernel_init=DENSE_INIT, name="usr_proj")(
-                usr_feat.astype(self.dtype))
+            usr_x = nn.Dense(d, kernel_init=DENSE_INIT, dtype=self.dtype,
+                             name="usr_proj")(usr_feat.astype(self.dtype))
 
         # ---- learned positional embeddings + LN + dropout (425-473) ----
         vid_pe_table = self.param("vid_pe", DENSE_INIT, (self.max_vid_len, d),
@@ -333,6 +350,7 @@ class SegFormerX(nn.Module):
             vid_next, usr_next = layer_cls(
                 d_model=d, num_heads=self.num_heads, ff_dim=self.ff_dim,
                 dropout=self.dropout, ablation=self.ablation,
+                dtype=self.dtype,
                 name=f"layer_{i}")(usr_cur, usr_mask, states[-1], vid_mask,
                                    deterministic)
             states.append(vid_next)

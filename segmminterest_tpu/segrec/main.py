@@ -1,0 +1,222 @@
+"""SegRec CLI driver.
+
+Behavioral spec: /root/reference/SegRec/main.py (:44-99,192-236): resolve
+model + mode, build corpus, train, report dev/test metrics, save CTR rows
+with WUAUC.
+
+  python -m segmminterest_tpu.segrec.main --model_name ClipWDRec \
+      --model_mode CTR --path data --dataset SegMM_CTR \
+      --clip_weight_path saved_logits/interest_logits.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os.path as osp
+
+import numpy as np
+
+from .corpus import Corpus
+from .feeds import ClipWeights, FeedBuilder
+from .models import MODEL_REGISTRY
+from .runner import CTRRunner, RankingRunner, RunnerConfig
+
+logger = logging.getLogger(__name__)
+
+SEQ_MODELS = {"DIN", "DIEN", "CAN", "SDIM", "ClipDINRec", "ClipDIENRec",
+              "ClipCANRec"}
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_name", type=str, default="ClipWDRec")
+    p.add_argument("--model_mode", type=str, default="CTR",
+                   choices=["CTR", "Ranking", "TopK"])
+    p.add_argument("--path", type=str, default="data")
+    p.add_argument("--dataset", type=str, default="SegMM_CTR")
+    p.add_argument("--sep", type=str, default="\t")
+    p.add_argument("--random_seed", type=int, default=0)
+    # runner
+    p.add_argument("--epoch", type=int, default=200)
+    p.add_argument("--early_stop", type=int, default=10)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--l2", type=float, default=0.0)
+    p.add_argument("--batch_size", type=int, default=512)
+    p.add_argument("--eval_batch_size", type=int, default=512)
+    p.add_argument("--optimizer", type=str, default="Adam")
+    p.add_argument("--topk", type=str, default="5,10,20,50")
+    p.add_argument("--metric", type=str, default="")
+    p.add_argument("--main_metric", type=str, default="")
+    p.add_argument("--loss_n", type=str, default="")
+    p.add_argument("--num_neg", type=int, default=1)
+    p.add_argument("--history_max", type=int, default=20)
+    p.add_argument("--dropout", type=float, default=0.0)
+    # model
+    p.add_argument("--emb_size", type=int, default=64)
+    p.add_argument("--layers", type=str, default="[64]")
+    p.add_argument("--att_layers", type=str, default="[64]")
+    p.add_argument("--dnn_layers", type=str, default="[64]")
+    p.add_argument("--adjust_interest_weight", type=int, default=0)
+    p.add_argument("--duration_mask", type=int, default=0)
+    p.add_argument("--norm_interest_type", type=str, default="none")
+    # segment integration inputs
+    p.add_argument("--clip_weight_path", type=str, default="")
+    p.add_argument("--eval_neg_weight_path", type=str, default="")
+    p.add_argument("--clip_feature_memmap", type=str, default="")
+    p.add_argument("--lineid_map", type=str, default="")
+    p.add_argument("--save_final_results", type=int, default=0)
+    p.add_argument("--result_dir", type=str, default="results")
+    return p
+
+
+def build_model(args, corpus, use_frames):
+    name = args.model_name
+    cls = MODEL_REGISTRY[name]
+    feature_names = (corpus.user_feature_names + corpus.item_feature_names
+                     + corpus.situation_feature_names
+                     + ["user_id", "item_id"])
+    layers = json.loads(args.layers)
+    dnn_layers = json.loads(args.dnn_layers)
+    att_layers = json.loads(args.att_layers)
+    seq_kwargs = dict(
+        user_features=["user_id"] + corpus.user_feature_names,
+        item_features=["item_id"] + corpus.item_feature_names,
+        situation_features=corpus.situation_feature_names,
+        feature_max=corpus.feature_max, emb_size=args.emb_size,
+        dropout=args.dropout)
+    clip_kwargs = dict(
+        feature_max=corpus.feature_max, dropout=args.dropout,
+        adjust_interest_weight=bool(args.adjust_interest_weight),
+        duration_mask=bool(args.duration_mask), use_frames=use_frames)
+    if name == "FM":
+        return cls(feature_names, corpus.feature_max, emb_size=args.emb_size,
+                   dropout=args.dropout)
+    if name == "WideDeep":
+        return cls(feature_names, corpus.feature_max, emb_size=args.emb_size,
+                   layers=layers, dropout=args.dropout)
+    if name in ("DCN", "DCNv2"):
+        return cls(feature_names, corpus.feature_max, emb_size=args.emb_size,
+                   layers=layers, dropout=args.dropout)
+    if name == "AutoInt":
+        return cls(feature_names, corpus.feature_max, emb_size=args.emb_size,
+                   layers=layers, dropout=args.dropout)
+    if name == "FinalMLP":
+        return cls(feature_names, corpus.feature_max, emb_size=args.emb_size,
+                   mlp1_hidden_units=layers, mlp2_hidden_units=layers,
+                   dropout=args.dropout)
+    if name == "AdaGIN":
+        return cls(feature_names, corpus.feature_max, emb_size=args.emb_size,
+                   dropout=args.dropout)
+    if name == "DIN":
+        return cls(att_layers=att_layers, dnn_layers=dnn_layers, **seq_kwargs)
+    if name == "DIEN":
+        return cls(fcn_hidden_layers=layers, **seq_kwargs)
+    if name == "CAN":
+        return cls(fcn_hidden_layers=layers, **seq_kwargs)
+    if name == "SDIM":
+        return cls(dnn_layers=dnn_layers, **seq_kwargs)
+    if name in ("ClipRec", "ClipWDRec"):
+        return cls(emb_dim=args.emb_size, dnn_layers=dnn_layers, **clip_kwargs)
+    if name == "ClipDINRec":
+        return cls(has_duration="i_duration" in corpus.item_feature_names,
+                   emb_size=args.emb_size, att_layers=att_layers,
+                   dnn_layers=dnn_layers,
+                   norm_interest_type=args.norm_interest_type, **clip_kwargs)
+    if name == "ClipDCNv2Rec":
+        return cls(emb_size=args.emb_size, layers=layers, **clip_kwargs)
+    if name == "ClipAutoIntRec":
+        return cls(emb_size=args.emb_size, layers=layers, **clip_kwargs)
+    if name == "ClipFinalMLPRec":
+        return cls(emb_size=args.emb_size, mlp1_hidden_units=layers,
+                   mlp2_hidden_units=layers, **clip_kwargs)
+    if name == "ClipAdaGINRec":
+        return cls(emb_size=args.emb_size, **clip_kwargs)
+    if name == "ClipDIENRec":
+        return cls(emb_size=args.emb_size, fcn_hidden_layers=layers,
+                   norm_interest_type=args.norm_interest_type, **clip_kwargs)
+    if name == "ClipCANRec":
+        return cls(emb_size=args.emb_size, fcn_hidden_layers=layers,
+                   norm_interest_type=args.norm_interest_type, **clip_kwargs)
+    raise ValueError(f"unknown model {name}")
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)s %(message)s")
+    args = build_parser().parse_args(argv)
+    task = "ctr" if args.model_mode == "CTR" else "ranking"
+
+    corpus = Corpus(args.path, args.dataset, sep=args.sep)
+    clip_weights = None
+    if args.clip_weight_path:
+        # dense -> raw id maps for logit-key lookup
+        # (SegRec/models/BaseModel.py:132-136)
+        id2user = id2item = None
+        base = osp.join(args.path, args.dataset)
+        if osp.exists(osp.join(base, "id2user.json")):
+            with open(osp.join(base, "id2user.json")) as f:
+                id2user = json.load(f)
+            with open(osp.join(base, "id2item.json")) as f:
+                id2item = json.load(f)
+        clip_weights = ClipWeights(args.clip_weight_path,
+                                   id2user=id2user, id2item=id2item,
+                                   neg_weight_path=args.eval_neg_weight_path)
+    feat_table = None
+    store = None
+    if args.clip_feature_memmap and args.lineid_map:
+        from ..data.feature_store import FeatureStore
+        store = FeatureStore.open(args.clip_feature_memmap, args.lineid_map)
+        feat_table = np.asarray(store.feat)
+
+    include_history = args.model_name in SEQ_MODELS
+    builders = {}
+    for phase in ("train", "dev", "test"):
+        builders[phase] = FeedBuilder(
+            corpus, phase, task=task, num_neg=args.num_neg,
+            history_max=args.history_max, include_history=include_history,
+            clip_weights=clip_weights, feature_store=store,
+            seed=args.random_seed)
+
+    use_frames = store is not None
+    model = build_model(args, corpus, use_frames)
+
+    metrics = args.metric or ("AUC,F1_SCORE,LOG_LOSS,ACC"
+                              if task == "ctr" else "NDCG,HR")
+    cfg = RunnerConfig(
+        epoch=args.epoch, early_stop=args.early_stop, lr=args.lr, l2=args.l2,
+        batch_size=args.batch_size, eval_batch_size=args.eval_batch_size,
+        optimizer=args.optimizer,
+        topk=tuple(int(x) for x in args.topk.split(",")),
+        metrics=tuple(m.strip().upper() for m in metrics.split(",")),
+        main_metric=args.main_metric,
+        loss_n=args.loss_n or ("BCE" if task == "ctr" else "BPR"),
+        seed=args.random_seed)
+    runner_cls = CTRRunner if task == "ctr" else RankingRunner
+    runner = runner_cls(model, cfg, feat_table=feat_table)
+
+    best_state, history = runner.train(builders)
+    dev_res = runner.evaluate(builders["dev"], best_state)
+    test_res = runner.evaluate(builders["test"], best_state)
+    logger.info("Dev  After Training: %s", dev_res)
+    logger.info("Test After Training: %s", test_res)
+    result = {"dev": dev_res, "test": test_res}
+    if args.save_final_results and task == "ctr":
+        import os
+        import pandas as pd
+        os.makedirs(args.result_dir, exist_ok=True)
+        preds, labels, users = runner.predict(builders["test"], best_state)
+        wuauc = test_res.get("WUAUC", 0.0)
+        out_path = osp.join(
+            args.result_dir,
+            f"rec-{args.model_name}{args.model_mode}-test_wuauc={wuauc}.csv")
+        pd.DataFrame({"user_id": users, "pCTR": preds,
+                      "label": labels}).to_csv(out_path, sep="\t", index=False)
+        logger.info("saved CTR predictions to %s", out_path)
+    print(json.dumps(result, indent=2))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,46 @@
+"""SegRec model zoo: flax modules producing (B, I) candidate scores.
+
+Each model is one module; the reference's *CTR / *Ranking class pairs map to
+the same module run under different runners (CTR applies sigmoid + BCE,
+Ranking applies softmax-weighted BPR).
+"""
+
+from .fm import FMModel
+from .widedeep import WideDeepModel
+from .cliprec import ClipWDModel
+from .din import DINModel, ClipDINModel
+from .dcn import DCNModel, DCNv2Model
+from .autoint import AutoIntModel
+from .finalmlp import FinalMLPModel
+from .adagin import AdaGINModel
+from .dien import DIENModel
+from .can import CANModel
+from .sdim import SDIMModel
+from .clip_variants import (ClipAdaGINModel, ClipAutoIntModel, ClipCANModel,
+                            ClipDCNv2Model, ClipDIENModel, ClipFinalMLPModel)
+
+MODEL_REGISTRY = {
+    "FM": FMModel,
+    "WideDeep": WideDeepModel,
+    "DCN": DCNModel,
+    "DCNv2": DCNv2Model,
+    "AutoInt": AutoIntModel,
+    "FinalMLP": FinalMLPModel,
+    "AdaGIN": AdaGINModel,
+    "DIN": DINModel,
+    "DIEN": DIENModel,
+    "CAN": CANModel,
+    "SDIM": SDIMModel,
+    "ClipRec": ClipWDModel,     # reference ClipRec.py is the WideDeep variant
+    "ClipWDRec": ClipWDModel,
+    "ClipDCNv2Rec": ClipDCNv2Model,
+    "ClipAutoIntRec": ClipAutoIntModel,
+    "ClipFinalMLPRec": ClipFinalMLPModel,
+    "ClipAdaGINRec": ClipAdaGINModel,
+    "ClipDINRec": ClipDINModel,
+    "ClipDIENRec": ClipDIENModel,
+    "ClipCANRec": ClipCANModel,
+}
+
+__all__ = ["MODEL_REGISTRY"] + sorted(
+    {cls.__name__ for cls in MODEL_REGISTRY.values()})

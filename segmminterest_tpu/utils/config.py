@@ -66,12 +66,18 @@ class InterestConfig:
     eval_cold: str = ""  # "" | "test"
     test_model: bool = True
     save_logits: bool = False
+    # watch-time task: add duration/TOP1MSE/MAES/pred_leave accumulators and
+    # report (MSE, MAE) aggregates (main_for_WatchTime_Ours_SegMM.py:181-226)
+    watchtime_metrics: bool = False
 
     # engine
     ckpt_dir: str = "ckpts_SegMM"
     debug: bool = False
     compute_dtype: str = "float32"   # float32 | bfloat16
     remat: bool = True               # rematerialize encoder layers on backward
+    # dropout PRNG implementation: 'rbg' is much faster than 'threefry2x32'
+    # on TPU for the large attention-logit dropout masks
+    rng_impl: str = "rbg"
     n_devices: Optional[int] = None  # None => all visible
 
     @property
