@@ -88,6 +88,8 @@ class SegInterestModel(nn.Module):
     ablation: str = "ours"
     dtype: Any = jnp.float32
     remat: bool = False
+    fused_attention: bool = False
+    interpret: bool = False
 
     def setup(self):
         dual = (self.user_input == "both") or (self.photo_input == "both")
@@ -103,7 +105,9 @@ class SegInterestModel(nn.Module):
                 dropout=self.dropout, user_id_max=user_id_max,
                 video_id_max=video_id_max, use_pe=self.use_pe,
                 ablation=self.ablation, output_layers=[-1],
-                dtype=self.dtype, remat=self.remat, name=name)
+                dtype=self.dtype, remat=self.remat,
+                fused_attention=self.fused_attention,
+                interpret=self.interpret, name=name)
 
         self.backbone1 = make_backbone(u1_id, u1_len, v1_id, "backbone1")
         self.dual = dual

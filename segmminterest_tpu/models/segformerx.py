@@ -89,12 +89,21 @@ class MLPBlock(nn.Module):
 
 class FourStreamAttention(nn.Module):
     """v2v / t2v / v2t / t2t attention with per-stream QKV projections and
-    concatenated KV for the user<->video cross streams (encoder.py:12-175)."""
+    concatenated KV for the user<->video cross streams (encoder.py:12-175).
+
+    With ``fused=True`` the mask-fill/dropout/scale/softmax/AV chain runs in
+    the Pallas kernel (core/attention.py); the per-stream q projections are
+    handled by concatenating the two q projections along the head dim and
+    zero-padding each key block's complementary half, so one kernel call
+    computes the jointly-normalized concat-KV softmax exactly.
+    """
     d_model: int
     num_heads: int
     dropout: float = 0.1
     ablation: str = "ours"
     dtype: Any = jnp.float32
+    fused: bool = False
+    interpret: bool = False  # route the kernel through the interpreter (tests)
 
     def _split_heads(self, x):
         b, l, _ = x.shape
@@ -127,6 +136,13 @@ class FourStreamAttention(nn.Module):
         t2v_value = self._split_heads(t2v[2](usr_feat))
         v2t_value = self._split_heads(v2t[2](vid_feat))
         t2t_value = self._split_heads(t2t[2](usr_feat))
+
+        if self.fused:
+            return self._fused_forward(
+                vid_feat, vid_mask, usr_feat, usr_mask,
+                v2v, t2v, v2t, t2t,
+                v2v_value, t2v_value, v2t_value, t2t_value, drop,
+                deterministic)
 
         if "CrossAtt" in self.ablation:
             v_logits = attn_logits(usr_feat, usr_mask, vid_feat, vid_mask, t2v)
@@ -175,6 +191,81 @@ class FourStreamAttention(nn.Module):
         usr_feat = nn.LayerNorm(epsilon=LN_EPS, name="ln_usr")(usr_feat + usr_out)
         return vid_feat, usr_feat
 
+    def _fused_forward(self, vid_feat, vid_mask, usr_feat, usr_mask,
+                       v2v, t2v, v2t, t2t,
+                       v2v_value, t2v_value, v2t_value, t2t_value, drop,
+                       deterministic):
+        import math
+
+        from ..core.attention import fused_masked_attention
+        d = self.d_model
+        dh = d // self.num_heads
+        scale = 1.0 / math.sqrt(dh)
+        sh = self._split_heads
+        B = vid_feat.shape[0]
+        rate = self.dropout if not deterministic else 0.0
+        if rate > 0:
+            key = self.make_rng("dropout")
+            seed = jax.random.randint(key, (2,), 0, 2 ** 31 - 1, jnp.int32)
+        else:
+            seed = jnp.zeros((2,), jnp.int32)
+
+        def fused(q, k, v, mq, mk, seed_slot):
+            return fused_masked_attention(
+                q, k, v, mq, mk, dropout_rate=rate, seed=seed[seed_slot],
+                deterministic=deterministic, interpret=self.interpret,
+                scale=scale)
+
+        if "CrossAtt" in self.ablation:
+            vid_out = fused(sh(t2v[0](vid_feat)), sh(t2v[1](usr_feat)),
+                            t2v_value, vid_mask, usr_mask, 0)
+            usr_out = fused(sh(v2t[0](usr_feat)), sh(v2t[1](vid_feat)),
+                            v2t_value, usr_mask, vid_mask, 1)
+        elif "SelfAtt" in self.ablation:
+            vid_out = fused(sh(v2v[0](vid_feat)), sh(v2v[1](vid_feat)),
+                            v2v_value, vid_mask, vid_mask, 0)
+            usr_out = fused(sh(t2t[0](usr_feat)), sh(t2t[1](usr_feat)),
+                            t2t_value, usr_mask, usr_mask, 1)
+        else:
+            # split-projection concat: q' = [q_a || q_b] per head, keys
+            # zero-padded on the complementary half, so q'.k' reproduces the
+            # per-block logits and the softmax normalizes across both blocks
+            def concat_q(pa, pb, feat):
+                return jnp.concatenate([sh(pa[0](feat)), sh(pb[0](feat))], -1)
+
+            def concat_k(pa, feat_a, pb, feat_b):
+                ka = sh(pa[1](feat_a))
+                kb = sh(pb[1](feat_b))
+                za = jnp.zeros_like(ka)
+                zb = jnp.zeros_like(kb)
+                return jnp.concatenate(
+                    [jnp.concatenate([ka, za], -1),
+                     jnp.concatenate([zb, kb], -1)], axis=1)
+
+            mask_cat = jnp.concatenate([vid_mask, usr_mask], axis=1)
+            vid_out = fused(concat_q(v2v, t2v, vid_feat),
+                            concat_k(v2v, vid_feat, t2v, usr_feat),
+                            jnp.concatenate([v2v_value, t2v_value], axis=1),
+                            vid_mask, mask_cat, 0)
+            usr_out = fused(concat_q(v2t, t2t, usr_feat),
+                            concat_k(v2t, vid_feat, t2t, usr_feat),
+                            jnp.concatenate([v2t_value, t2t_value], axis=1),
+                            usr_mask, mask_cat, 1)
+
+        vid_out = vid_out.reshape(B, vid_feat.shape[1], d)
+        usr_out = usr_out.reshape(B, usr_feat.shape[1], d)
+        usr_out = drop(nn.Dense(d, kernel_init=DENSE_INIT, dtype=self.dtype,
+                                name="ff_usr")(usr_out),
+                       deterministic=deterministic)
+        vid_out = drop(nn.Dense(d, kernel_init=DENSE_INIT, dtype=self.dtype,
+                                name="ff_vid")(vid_out),
+                       deterministic=deterministic)
+        vid_feat = nn.LayerNorm(epsilon=LN_EPS, name="ln_vid")(vid_feat + vid_out)
+        if "SelfAtt" in self.ablation:
+            return vid_feat, None
+        usr_feat = nn.LayerNorm(epsilon=LN_EPS, name="ln_usr")(usr_feat + usr_out)
+        return vid_feat, usr_feat
+
 
 class SegFormerXLayer(nn.Module):
     """Attention + per-stream GELU MLP FFN with post-LN residuals
@@ -185,6 +276,8 @@ class SegFormerXLayer(nn.Module):
     dropout: float = 0.1
     ablation: str = "ours"
     dtype: Any = jnp.float32
+    fused: bool = False
+    interpret: bool = False
 
     @nn.compact
     def __call__(self, usr_feat, usr_mask, vid_feat, vid_mask,
@@ -192,6 +285,7 @@ class SegFormerXLayer(nn.Module):
         vid_feat, usr_feat = FourStreamAttention(
             d_model=self.d_model, num_heads=self.num_heads,
             dropout=self.dropout, ablation=self.ablation, dtype=self.dtype,
+            fused=self.fused, interpret=self.interpret,
             name="cross_attn")(
                 vid_feat, vid_mask, usr_feat, usr_mask,
                 deterministic=deterministic)
@@ -257,6 +351,9 @@ class SegFormerX(nn.Module):
     # sizes; recomputing them costs ~1/3 extra FLOPs and cuts live activation
     # memory to ~one layer
     remat: bool = False
+    # run the mask/dropout/softmax/AV chain in the fused Pallas kernel
+    fused_attention: bool = False
+    interpret: bool = False
 
     @nn.compact
     def __call__(self, usr_feat, usr_mask, vid_feat, vid_mask, *,
@@ -350,7 +447,8 @@ class SegFormerX(nn.Module):
             vid_next, usr_next = layer_cls(
                 d_model=d, num_heads=self.num_heads, ff_dim=self.ff_dim,
                 dropout=self.dropout, ablation=self.ablation,
-                dtype=self.dtype,
+                dtype=self.dtype, fused=self.fused_attention,
+                interpret=self.interpret,
                 name=f"layer_{i}")(usr_cur, usr_mask, states[-1], vid_mask,
                                    deterministic)
             states.append(vid_next)

@@ -21,7 +21,8 @@ import numpy as np
 from .corpus import Corpus
 from .feeds import ClipWeights, FeedBuilder
 from .models import MODEL_REGISTRY
-from .runner import CTRRunner, RankingRunner, RunnerConfig
+from .runner import (CTRRunner, LeaveRankingRunner,
+                     RankingRunner, RunnerConfig)
 
 logger = logging.getLogger(__name__)
 
@@ -68,6 +69,13 @@ def build_parser():
     p.add_argument("--lineid_map", type=str, default="")
     p.add_argument("--save_final_results", type=int, default=0)
     p.add_argument("--result_dir", type=str, default="results")
+    # SkipPredBaseline fork features (ReChorus/src/main.py:39,105-141 and
+    # helpers/BaseRunner.py:52-114)
+    p.add_argument("--leave_rank", type=int, default=0,
+                   help="evaluate with the leave-frame ranking variant")
+    p.add_argument("--all_inference", type=int, default=0,
+                   help="after training, dump per-candidate prediction "
+                        "scores over train/dev/test for the logits converter")
     return p
 
 
@@ -193,8 +201,13 @@ def main(argv=None):
         main_metric=args.main_metric,
         loss_n=args.loss_n or ("BCE" if task == "ctr" else "BPR"),
         seed=args.random_seed)
-    runner_cls = CTRRunner if task == "ctr" else RankingRunner
-    runner = runner_cls(model, cfg, feat_table=feat_table)
+    if task == "ctr":
+        runner = CTRRunner(model, cfg, feat_table=feat_table)
+    elif args.leave_rank:
+        runner = LeaveRankingRunner(model, cfg, feat_table=feat_table,
+                                    data_name=args.dataset)
+    else:
+        runner = RankingRunner(model, cfg, feat_table=feat_table)
 
     best_state, history = runner.train(builders)
     dev_res = runner.evaluate(builders["dev"], best_state)
@@ -214,6 +227,33 @@ def main(argv=None):
         pd.DataFrame({"user_id": users, "pCTR": preds,
                       "label": labels}).to_csv(out_path, sep="\t", index=False)
         logger.info("saved CTR predictions to %s", out_path)
+    if args.all_inference:
+        # per-candidate score export for convert_baseline_logits
+        # (ReChorus fork main.py:105-141)
+        import os
+        import pandas as pd
+        os.makedirs(args.result_dir, exist_ok=True)
+        rows = []
+        for phase in ("train", "dev", "test"):
+            b = builders[phase]
+            if phase == "train" and task == "ranking":
+                b.actions_before_epoch()
+            preds = runner.predict(b, best_state)
+            if preds.ndim == 1:
+                preds = preds[:, None]
+            n = len(b)
+            items = b._candidates(np.arange(n))
+            for r in range(n):
+                for c in range(items.shape[1]):
+                    rows.append((int(b.user_id[r]), int(b.time[r]),
+                                 int(items[r, c]), float(preds[r, c])))
+        out_path = osp.join(args.result_dir,
+                            f"inference_scores-{args.model_name}"
+                            f"{args.model_mode}.csv")
+        pd.DataFrame(rows, columns=["user_id", "time", "item_id",
+                                    "predictions"]).to_csv(
+            out_path, sep="\t", index=False)
+        logger.info("saved inference scores to %s", out_path)
     print(json.dumps(result, indent=2))
     return result
 

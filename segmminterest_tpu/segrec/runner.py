@@ -111,6 +111,45 @@ def evaluate_ranking(predictions: np.ndarray, topk, metrics,
     return evaluations
 
 
+def evaluate_leave_ranking(predictions: np.ndarray, topk, metrics,
+                           durations=None, data_name: str = "",
+                           rng: Optional[np.random.Generator] = None):
+    """Leave-frame ranking (SkipPredBaseline/ReChorus/src/helpers/
+    BaseRunner.py:52-114): rank of candidate 0 (the leave frame) by
+    ASCENDING score with random-permutation tie-breaking. Duration-mask
+    variants push out-of-duration candidates to +inf; 'Default' datasets trim
+    the trailing default-item row."""
+    predictions = np.asarray(predictions, dtype=np.float64)
+    bsz, seq_len = predictions.shape
+    if durations is not None and "Default" not in data_name:
+        dur = np.asarray(durations)[:, None]
+        mask = np.arange(seq_len)[None, :] < dur
+        predictions = np.where(mask, predictions, np.inf)
+    elif "Default" in data_name:
+        predictions = predictions[:-1]
+        bsz -= 1
+    r = rng if rng is not None else np.random
+    permuted = np.stack([r.permutation(seq_len) for _ in range(bsz)]) \
+        if bsz else np.zeros((0, seq_len), np.int64)
+    shuffled = np.take_along_axis(predictions, permuted, axis=1)
+    sorted_indices = np.argsort(shuffled, axis=1)
+    target = np.argmax(permuted == 0, axis=1)
+    gt_rank = np.argmax(sorted_indices == target[:, None], axis=1) + 1
+    evaluations = {}
+    for k in topk:
+        hit = gt_rank <= k
+        for metric in metrics:
+            key = f"{metric}@{k}"
+            if metric == "HR":
+                evaluations[key] = float(hit.mean()) if bsz else float("nan")
+            elif metric == "NDCG":
+                evaluations[key] = float(
+                    (hit / np.log2(gt_rank + 1)).mean()) if bsz else float("nan")
+            else:
+                raise ValueError(f"Undefined metric {metric}")
+    return evaluations
+
+
 def evaluate_ctr(predictions: np.ndarray, labels: np.ndarray, metrics):
     """AUC/F1/ACC/LogLoss (CTRRunner.py:22-43)."""
     evaluations = {}
@@ -339,6 +378,24 @@ class RankingRunner:
                     dev_results[best_epoch] if dev_results else {})
         return best_state, {"main_results": main_results,
                             "dev_results": dev_results}
+
+
+class LeaveRankingRunner(RankingRunner):
+    """Ranking runner whose evaluation is the leave-frame variant of the
+    SkipPredBaseline ReChorus fork (ascending-score rank of the leave frame
+    with duration masking / default-row trimming)."""
+
+    def __init__(self, model, cfg: RunnerConfig, feat_table=None,
+                 data_name: str = ""):
+        super().__init__(model, cfg, feat_table)
+        self.data_name = data_name
+
+    def evaluate(self, builder: FeedBuilder, state, topk=None, metrics=None):
+        predictions = self.predict(builder, state)
+        durations = builder.situations.get("c_frame_length")
+        return evaluate_leave_ranking(
+            predictions, topk or self.topk, metrics or self.metrics,
+            durations=durations, data_name=self.data_name, rng=self.rng)
 
 
 class CTRRunner(RankingRunner):

@@ -75,6 +75,7 @@ class InterestConfig:
     debug: bool = False
     compute_dtype: str = "float32"   # float32 | bfloat16
     remat: bool = True               # rematerialize encoder layers on backward
+    fused_attention: bool = True     # Pallas fused masked attention kernel
     # dropout PRNG implementation: 'rbg' is much faster than 'threefry2x32'
     # on TPU for the large attention-logit dropout masks
     rng_impl: str = "rbg"

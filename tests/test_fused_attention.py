@@ -1,0 +1,129 @@
+"""Fused attention kernel vs the materialized reference path: forward and
+gradients, masked and unmasked, via the Pallas interpreter on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from segmminterest_tpu.core.attention import (_attention_reference,
+                                              fused_masked_attention)
+
+
+def make_inputs(rng, B=8, Lq=40, Lk=44, H=4, Dh=32):
+    q = jnp.asarray(rng.normal(size=(B, Lq, H, Dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Lk, H, Dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Lk, H, Dh)), jnp.float32)
+    mq = np.zeros((B, Lq), bool)
+    mk = np.zeros((B, Lk), bool)
+    for i in range(B):
+        mq[i, : rng.integers(1, Lq + 1)] = True
+        mk[i, : rng.integers(1, Lk + 1)] = True
+    return q, k, v, jnp.asarray(mq), jnp.asarray(mk)
+
+
+def test_forward_matches_reference(rng):
+    q, k, v, mq, mk = make_inputs(rng)
+    want = _attention_reference(q, k, v, mq, mk, 0.0,
+                                jnp.zeros(1, jnp.int32), True,
+                                1.0 / np.sqrt(q.shape[-1]))
+    got = fused_masked_attention(q, k, v, mq, mk, deterministic=True,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_gradients_match_reference(rng):
+    q, k, v, mq, mk = make_inputs(rng, B=4, Lq=16, Lk=24, H=2, Dh=32)
+
+    def loss_ref(q, k, v):
+        out = _attention_reference(q, k, v, mq, mk, 0.0,
+                                   jnp.zeros(1, jnp.int32), True,
+                                   1.0 / np.sqrt(q.shape[-1]))
+        return (out ** 2).sum()
+
+    def loss_fused(q, k, v):
+        out = fused_masked_attention(q, k, v, mq, mk, deterministic=True,
+                                     interpret=True)
+        return (out ** 2).sum()
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_fused, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4, err_msg=name)
+
+
+def test_dropout_statistics(rng):
+    """Train-mode dropout: ~rate of logits zeroed; fwd/bwd streams agree (the
+    gradient at dropped positions must be zero)."""
+    q, k, v, mq, mk = make_inputs(rng, B=4, Lq=16, Lk=24, H=2, Dh=32)
+    mq = jnp.ones_like(mq, bool)
+    mk = jnp.ones_like(mk, bool)
+    seed = jnp.asarray([7], jnp.int32)
+    out1 = fused_masked_attention(q, k, v, mq, mk, dropout_rate=0.5,
+                                  seed=seed, deterministic=False,
+                                  interpret=True)
+    out2 = fused_masked_attention(q, k, v, mq, mk, dropout_rate=0.5,
+                                  seed=seed, deterministic=False,
+                                  interpret=True)
+    # same seed -> identical output
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    out3 = fused_masked_attention(q, k, v, mq, mk, dropout_rate=0.5,
+                                  seed=seed + 1, deterministic=False,
+                                  interpret=True)
+    assert not np.allclose(np.asarray(out1), np.asarray(out3))
+    # deterministic path unaffected by seed
+    det = fused_masked_attention(q, k, v, mq, mk, dropout_rate=0.5,
+                                 seed=seed, deterministic=True,
+                                 interpret=True)
+    want = _attention_reference(q, k, v, mq, mk, 0.0, seed, True,
+                                1.0 / np.sqrt(q.shape[-1]))
+    np.testing.assert_allclose(np.asarray(det), np.asarray(want), rtol=2e-5,
+                               atol=2e-5)
+    # gradient runs without error under dropout and is finite
+    g = jax.grad(lambda q: (fused_masked_attention(
+        q, k, v, mq, mk, dropout_rate=0.5, seed=seed, deterministic=False,
+        interpret=True) ** 2).sum())(q)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_query_padding_rows_are_softmax_of_constant(rng):
+    """Fully-masked query rows produce uniform attention (exactly like the
+    reference's -10000 fill) — no NaNs."""
+    q, k, v, mq, mk = make_inputs(rng)
+    mq = mq.at[0, :].set(False)
+    got = fused_masked_attention(q, k, v, mq, mk, deterministic=True,
+                                 interpret=True)
+    want = _attention_reference(q, k, v, mq, mk, 0.0,
+                                jnp.zeros(1, jnp.int32), True,
+                                1.0 / np.sqrt(q.shape[-1]))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5,
+                               atol=2e-5)
+    assert np.isfinite(np.asarray(got)).all()
+
+
+def test_segformerx_fused_matches_unfused(rng):
+    """The full encoder with fused attention (interpreted) must match the
+    materialized path exactly in deterministic mode."""
+    from segmminterest_tpu.models.segformerx import SegFormerX
+    B, Lu, Df, D = 4, 12, 48, 64
+    usr = jnp.asarray(rng.normal(size=(B, Lu, Df)), jnp.float32)
+    vid = jnp.asarray(rng.normal(size=(B, 40, Df)), jnp.float32)
+    usr_mask = np.zeros((B, Lu), bool)
+    vid_mask = np.zeros((B, 40), bool)
+    for i in range(B):
+        usr_mask[i, : rng.integers(1, Lu + 1)] = True
+        vid_mask[i, : rng.integers(1, 41)] = True
+    usr_mask, vid_mask = jnp.asarray(usr_mask), jnp.asarray(vid_mask)
+
+    kwargs = dict(d_model=D, num_heads=4, num_layers=3, ff_dim=96,
+                  user_id_max=-1, video_id_max=-1, output_layers=[-1],
+                  max_usr_len=Lu)
+    base = SegFormerX(**kwargs)
+    fused = SegFormerX(**kwargs, fused_attention=True, interpret=True)
+    params = base.init(jax.random.PRNGKey(0), usr, usr_mask, vid, vid_mask)
+    s1, _ = base.apply(params, usr, usr_mask, vid, vid_mask)
+    s2, _ = fused.apply(params, usr, usr_mask, vid, vid_mask)
+    np.testing.assert_allclose(np.asarray(s2[-1]), np.asarray(s1[-1]),
+                               rtol=2e-4, atol=2e-4)

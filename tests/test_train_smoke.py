@@ -56,7 +56,9 @@ def test_training_end_to_end(tmp_path, sample_reader):
         sample_csv=SAMPLE, d_model=32, nhead=4, num_layers_enc=2,
         user_input_type="id", photo_input_type="id", fusion_heads=2,
         train_batch_size=128, valid_batch_size=128, test_batch_size=128,
-        epochs=1, valid_step=5, logging_step=100, early_stop=0,
+        # debug caps training at 4 steps; valid_step=2 fires validations at
+        # steps 1 and 3 (the reference CLI forces valid_step=1 under --debug)
+        epochs=1, valid_step=2, logging_step=100, early_stop=0,
         loss_type="interestBPR,focal", exposure_prob=[1.0] * 40,
         eval_type_list="JaccardSim,LeaveMSE,LeaveCTR,LeaveCTR_view,TOP_K",
         ckpt_dir=str(tmp_path), debug=True, eval_cold="test")
