@@ -27,7 +27,7 @@ from .runner import (CTRRunner, LeaveRankingRunner,
 logger = logging.getLogger(__name__)
 
 SEQ_MODELS = {"DIN", "DIEN", "CAN", "SDIM", "ClipDINRec", "ClipDIENRec",
-              "ClipCANRec"}
+              "ClipCANRec", "SASRec", "GRU4Rec", "Caser"}
 
 
 def build_parser():
@@ -98,6 +98,35 @@ def build_model(args, corpus, use_frames):
         feature_max=corpus.feature_max, dropout=args.dropout,
         adjust_interest_weight=bool(args.adjust_interest_weight),
         duration_mask=bool(args.duration_mask), use_frames=use_frames)
+    if name in ("BPRMF", "DirectAU"):
+        return cls(user_num=corpus.n_users, item_num=corpus.n_items,
+                   emb_size=args.emb_size)
+    if name == "NeuMF":
+        return cls(user_num=corpus.n_users, item_num=corpus.n_items,
+                   emb_size=args.emb_size, layers=layers,
+                   dropout=args.dropout)
+    if name == "LightGCN":
+        train = corpus.data_df["train"]
+        return cls(user_num=corpus.n_users, item_num=corpus.n_items,
+                   edge_users=train["user_id"].to_numpy(np.int32),
+                   edge_items=train["item_id"].to_numpy(np.int32),
+                   emb_size=args.emb_size)
+    if name == "POP":
+        pop = np.zeros(corpus.n_items, np.float32)
+        for i in corpus.data_df["train"]["item_id"]:
+            pop[i] += 1
+        return cls(popularity=pop)
+    if name == "SASRec":
+        return cls(user_num=corpus.n_users, item_num=corpus.n_items,
+                   emb_size=args.emb_size, history_max=args.history_max,
+                   dropout=args.dropout)
+    if name == "GRU4Rec":
+        return cls(user_num=corpus.n_users, item_num=corpus.n_items,
+                   emb_size=args.emb_size, dropout=args.dropout)
+    if name == "Caser":
+        return cls(user_num=corpus.n_users, item_num=corpus.n_items,
+                   emb_size=args.emb_size, history_max=args.history_max,
+                   dropout=args.dropout)
     if name == "FM":
         return cls(feature_names, corpus.feature_max, emb_size=args.emb_size,
                    dropout=args.dropout)

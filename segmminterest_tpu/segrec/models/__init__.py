@@ -18,8 +18,19 @@ from .can import CANModel
 from .sdim import SDIMModel
 from .clip_variants import (ClipAdaGINModel, ClipAutoIntModel, ClipCANModel,
                             ClipDCNv2Model, ClipDIENModel, ClipFinalMLPModel)
+from .general import (BPRMFModel, DirectAUModel, LightGCNModel, NeuMFModel,
+                      POPModel)
+from .sequential import CaserModel, GRU4RecModel, SASRecModel
 
 MODEL_REGISTRY = {
+    "BPRMF": BPRMFModel,
+    "NeuMF": NeuMFModel,
+    "LightGCN": LightGCNModel,
+    "DirectAU": DirectAUModel,
+    "POP": POPModel,
+    "SASRec": SASRecModel,
+    "GRU4Rec": GRU4RecModel,
+    "Caser": CaserModel,
     "FM": FMModel,
     "WideDeep": WideDeepModel,
     "DCN": DCNModel,

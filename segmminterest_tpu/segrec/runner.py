@@ -49,7 +49,8 @@ class RunnerConfig:
     topk: Tuple[int, ...] = (5, 10, 20, 50)
     metrics: Tuple[str, ...] = ("NDCG", "HR")
     main_metric: str = ""
-    loss_n: str = "BPR"          # BPR | BCE (ranking); BCE | MSE (ctr)
+    loss_n: str = "BPR"          # BPR | BCE | DirectAU (ranking); BCE | MSE (ctr)
+    directau_gamma: float = 1.0
     auxillary_loss_weight: float = 0.0
     seed: int = 0
     test_epoch: int = -1
@@ -227,12 +228,23 @@ class RankingRunner:
                 optax.add_decayed_weights(cfg.l2, mask=no_decay_mask), base)
         return base
 
-    def _loss(self, predictions, batch):
+    def _loss(self, predictions, batch, params=None):
         if "unshuffle" in batch:
             # restore candidate order so column 0 is the target
             # (BaseRunner.py:199-208)
             predictions = jnp.take_along_axis(predictions,
                                               batch["unshuffle"], axis=1)
+        if self.cfg.loss_n == "DirectAU" and params is not None:
+            # alignment/uniformity over the MF embeddings
+            # (general/DirectAU.py)
+            from .models.general import DirectAUModel
+            u_tab = params["u_embeddings"]["embedding"]
+            i_tab = params["i_embeddings"]["embedding"]
+            u_e = u_tab[batch["user_id"].astype(jnp.int32)]
+            i_e = i_tab[batch["item_id"][:, 0].astype(jnp.int32)]
+            return DirectAUModel.direct_au_loss(
+                u_e, i_e, batch["row_mask"].astype(jnp.float32),
+                self.cfg.directau_gamma)
         if self.cfg.loss_n == "BCE":
             return bce_ranking_loss(predictions, batch["row_mask"])
         return bpr_loss(predictions, batch["row_mask"])
@@ -259,7 +271,7 @@ class RankingRunner:
             else:
                 out = self._apply(variables, batch, False, rngs)
                 mutated = {}
-            return self._loss(out, batch), mutated
+            return self._loss(out, batch, params), mutated
 
         (loss, mutated), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state["params"])

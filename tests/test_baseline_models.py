@@ -1,0 +1,143 @@
+"""General/sequential ReChorus baselines + the MMRec family: forward shapes,
+loss sanity, and tiny end-to-end runs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from segmminterest_tpu.segrec.models import MODEL_REGISTRY
+from segmminterest_tpu.segrec.models.general import DirectAUModel
+
+N_USERS, N_ITEMS = 30, 80
+
+
+def seq_feed(rng, B=4, I=3, L=6):
+    return {
+        "user_id": rng.integers(1, N_USERS, size=B),
+        "item_id": rng.integers(1, N_ITEMS, size=(B, I)),
+        "row_mask": np.ones(B, bool),
+        "history_item_id": rng.integers(1, N_ITEMS, size=(B, L)),
+        "lengths": rng.integers(1, L + 1, size=B),
+    }
+
+
+def build(name, rng):
+    cls = MODEL_REGISTRY[name]
+    if name in ("BPRMF", "DirectAU", "NeuMF"):
+        return cls(user_num=N_USERS, item_num=N_ITEMS, emb_size=8)
+    if name == "LightGCN":
+        return cls(user_num=N_USERS, item_num=N_ITEMS,
+                   edge_users=rng.integers(1, N_USERS, 50).astype(np.int32),
+                   edge_items=rng.integers(1, N_ITEMS, 50).astype(np.int32),
+                   emb_size=8)
+    if name == "POP":
+        return cls(popularity=rng.random(N_ITEMS).astype(np.float32))
+    if name == "SASRec":
+        return cls(user_num=N_USERS, item_num=N_ITEMS, emb_size=8,
+                   num_heads=2, history_max=6)
+    if name == "GRU4Rec":
+        return cls(user_num=N_USERS, item_num=N_ITEMS, emb_size=8,
+                   hidden_size=12)
+    if name == "Caser":
+        return cls(user_num=N_USERS, item_num=N_ITEMS, emb_size=8,
+                   num_horizon=4, num_vertical=2, L=3, history_max=6)
+    raise ValueError(name)
+
+
+@pytest.mark.parametrize("name", ["BPRMF", "NeuMF", "LightGCN", "DirectAU",
+                                  "POP", "SASRec", "GRU4Rec", "Caser"])
+def test_baseline_forward(rng, name):
+    model = build(name, rng)
+    feed = {k: jnp.asarray(v) for k, v in seq_feed(rng).items()}
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           feed, deterministic=True)
+    out = model.apply(variables, feed, deterministic=True)
+    assert out.shape == (4, 3), name
+    assert np.isfinite(np.asarray(out)).all(), name
+
+
+def test_directau_loss_properties(rng):
+    u = jnp.asarray(rng.normal(size=(16, 8)), jnp.float32)
+    loss_aligned = DirectAUModel.direct_au_loss(u, u, jnp.ones(16), 1.0)
+    i = jnp.asarray(rng.normal(size=(16, 8)), jnp.float32)
+    loss_random = DirectAUModel.direct_au_loss(u, i, jnp.ones(16), 1.0)
+    # perfect alignment has zero alignment term -> lower loss
+    assert float(loss_aligned) < float(loss_random)
+
+
+def test_pop_scores_are_popularity(rng):
+    pop = rng.random(N_ITEMS).astype(np.float32)
+    model = MODEL_REGISTRY["POP"](popularity=pop)
+    feed = {k: jnp.asarray(v) for k, v in seq_feed(rng).items()}
+    variables = model.init({"params": jax.random.PRNGKey(0)}, feed,
+                           deterministic=True)
+    out = np.asarray(model.apply(variables, feed, deterministic=True))
+    np.testing.assert_allclose(out, pop[np.asarray(feed["item_id"])],
+                               rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# MMRec family
+# ---------------------------------------------------------------------------
+
+def mm_fixture(rng, with_pos=True):
+    from segmminterest_tpu.mmrec.graph import (bipartite_norm_edges,
+                                               knn_item_graph)
+    users = rng.integers(1, N_USERS, 200)
+    items = rng.integers(1, N_ITEMS, 200)
+    eu, ei, ev = bipartite_norm_edges(users, items, N_USERS, N_ITEMS)
+    d = 17 if with_pos else 16
+    v_feat = rng.normal(size=(N_ITEMS, d)).astype(np.float32)
+    if with_pos:
+        v_feat[:, -1] = rng.random(N_ITEMS)
+    mm_edges, mm_values = knn_item_graph(
+        v_feat[:, :-1] if with_pos else v_feat, knn_k=4)
+    return dict(n_users=N_USERS, n_items=N_ITEMS, edge_u=eu, edge_i=ei,
+                edge_values=ev, emb_size=8, v_feat=v_feat,
+                mm_edges=mm_edges, mm_values=mm_values)
+
+
+@pytest.mark.parametrize("name", ["BPR", "LightGCN", "LayerGCN", "FREEDOM",
+                                  "BM3", "LATTICE", "MMGCN", "SLMRec"])
+def test_mmrec_embeddings(rng, name):
+    from segmminterest_tpu.mmrec.models import MMREC_REGISTRY
+    model = MMREC_REGISTRY[name](**mm_fixture(rng))
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           method="embeddings")
+    u, i = model.apply(variables, method="embeddings")
+    assert u.shape == (N_USERS, 8) and i.shape == (N_ITEMS, 8), name
+    assert np.isfinite(np.asarray(u)).all() and \
+        np.isfinite(np.asarray(i)).all(), name
+
+
+@pytest.mark.parametrize("name", ["FREEDOM", "BM3", "SLMRec"])
+def test_mmrec_training_reduces_loss(rng, name):
+    from segmminterest_tpu.mmrec.models import MMREC_REGISTRY
+    from segmminterest_tpu.mmrec.runner import MMRecConfig, MMRecRunner
+    users = rng.integers(1, N_USERS, 300)
+    items = rng.integers(1, N_ITEMS, 300)
+    model = MMREC_REGISTRY[name](**mm_fixture(rng))
+    cfg = MMRecConfig(epochs=3, batch_size=128, learning_rate=1e-2)
+    runner = MMRecRunner(model, cfg, users, items, N_ITEMS)
+    state = runner.init_state()
+    key = jax.random.PRNGKey(0)
+    state, loss0, key = runner.fit_epoch(state, key)
+    for _ in range(3):
+        state, loss1, key = runner.fit_epoch(state, key)
+    assert np.isfinite(loss1)
+    assert loss1 < loss0 + 1e-3, (name, loss0, loss1)
+
+
+def test_mmrec_end_to_end(rng):
+    from segmminterest_tpu.mmrec.main import main as mm_main
+    result = mm_main(["--model", "FREEDOM",
+                      "--inter_csv", "/root/reference/SegMM_inter_sample.csv",
+                      "--min_interactions", "30", "--num_warmup", "10",
+                      "--epochs", "2", "--stopping_step", "2",
+                      "--emb_size", "8", "--knn_k", "4",
+                      "--feat_dim", "16"])
+    assert "hr@5" in result["best_test_upon_valid"]
+    assert 0 <= result["best_test_upon_valid"]["hr@5"] <= 1
