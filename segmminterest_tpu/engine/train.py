@@ -247,6 +247,15 @@ def run_training(config: InterestConfig, reader: SeqReader,
     eval_rng = np.random.default_rng(cfg.seed)
     example = next(iter(valid_iter)) if len(valid_iter) else next(iter(train_iter))
     state = engine.init_state(rng, example)
+    start_epoch = 0
+    if cfg.load and osp.exists(ckpt.ckpt_latest):
+        # resume-from-latest (CheckPointer.load_checkpoint mode='latest',
+        # preemption recovery per SURVEY.md §5.3)
+        loaded = ckpt.load_checkpoint(state, mode="latest")
+        state = loaded["state"]
+        start_epoch = int(loaded["num_epochs"])
+        logger.info("resumed from %s at epoch %d", ckpt.ckpt_latest,
+                    start_epoch)
 
     total_train_loss: list = []
     total_metrics: Dict[str, list] = {"train_loss": [], "valid_loss": []}
@@ -271,17 +280,43 @@ def run_training(config: InterestConfig, reader: SeqReader,
     global_step = 0
     step_times: list = []
     n_interactions = 0
-    for epoch in range(cfg.epochs):
+    record_dict_list = []
+    equal_num: Dict[str, int] = {}
+    profiled = False
+    for epoch in range(start_epoch, cfg.epochs):
         if stop_flag:
             break
         epoch_st = time.time()
+        if cfg.count_view_completion:
+            equal_num.setdefault("train", 0)
+            equal_num.setdefault("train_all", 0)
         for local_step, batch in enumerate(train_iter):
             if cfg.debug and local_step > 3:
                 break
+            if cfg.profile and not profiled and local_step == 2:
+                # jax.profiler trace of a few steady-state steps (the
+                # reference's --debug timing hooks, SURVEY.md §5.1)
+                jax.profiler.start_trace(osp.join(work_dir, "profile"))
             st = time.time()
             rng, step_rng = jax.random.split(rng)
             state, loss_dict = engine.train_step(state, step_rng, batch)
             loss = float(loss_dict["loss"])
+            if not np.isfinite(loss):
+                logger.error("non-finite loss %.4f at step %d — aborting "
+                             "(resume with load=True from ckpt-latest)",
+                             loss, global_step)
+                stop_flag = True
+                break
+            if cfg.profile and not profiled and local_step == 5:
+                jax.profiler.stop_trace()
+                profiled = True
+                logger.info("profiler trace written to %s",
+                            osp.join(work_dir, "profile"))
+            if cfg.count_view_completion:
+                lab = batch["label"][batch["row_mask"]]
+                equal_num["train"] += int(
+                    ((lab == 1).sum(1) == (lab != -2).sum(1)).sum())
+                equal_num["train_all"] += int(batch["row_mask"].sum())
             total_train_loss.append(loss)
             n_interactions += int(batch["row_mask"].sum())
             global_step += 1
@@ -303,6 +338,16 @@ def run_training(config: InterestConfig, reader: SeqReader,
                             cfg.main_metrics, main_val, global_step)
                 ckpt.save_checkpoint(state, epoch,
                                      metric_vals={"main_metric": main_val})
+                if cfg.record_train_detail:
+                    # gt/interest tensors per validation for offline
+                    # inspection (main_…SegMM.py:241-242,314-327)
+                    _, _, tr_int = engine.eval_step(state, batch)
+                    record_dict_list.append({
+                        "epoch": epoch, "step": local_step,
+                        "train_loss": loss,
+                        "train_gt": batch["label"][batch["row_mask"]],
+                        "train_interests":
+                            np.asarray(tr_int)[batch["row_mask"]]})
                 history = total_metrics[cfg.main_metrics]
                 if cfg.early_stop > 0:
                     if len(history) > cfg.early_stop:
@@ -326,6 +371,30 @@ def run_training(config: InterestConfig, reader: SeqReader,
         "interactions_per_sec": (n_interactions / sum(step_times[1:])
                                  if len(step_times) > 1 else 0.0),
     }
+    if cfg.count_view_completion:
+        result["view_completion"] = equal_num
+        logger.info("view completion counts: %s", equal_num)
+    if cfg.record_train_detail and record_dict_list:
+        np.save(osp.join(work_dir, "record_logit_gt.npy"),
+                np.asarray(record_dict_list, dtype=object),
+                allow_pickle=True)
+        with open(osp.join(work_dir, "valid_loss_metrics.json"), "w") as f:
+            json.dump(total_metrics, f)
+    if cfg.plot_curves and total_train_loss:
+        # train/valid loss curves (main_…SegMM.py:462-470)
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            for name, ys in (("train_loss", total_train_loss),
+                             ("valid_loss", total_metrics["valid_loss"])):
+                plt.figure(figsize=(10, 8))
+                plt.plot(range(len(ys)), ys)
+                plt.title(name.replace("_", " ").title())
+                plt.savefig(osp.join(work_dir, f"{name}.png"))
+                plt.close()
+        except ImportError:
+            logger.warning("matplotlib unavailable; skipping loss curves")
 
     if cfg.test_model and global_step > 0:
         loaded = ckpt.load_checkpoint(state, mode="best")

@@ -79,6 +79,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--test_model", type=int, default=1)
     p.add_argument("--save_logits", type=int, default=0)
     p.add_argument("--ckpt_dir", type=str, default=d.ckpt_dir)
+    p.add_argument("--load", type=int, default=0,
+                   help="resume from ckpt-latest before training")
+    p.add_argument("--profile", type=int, default=0,
+                   help="write a jax.profiler trace of steps 2-5")
+    p.add_argument("--record_train_detail", type=int, default=0)
+    p.add_argument("--count_view_completion", type=int, default=0)
+    p.add_argument("--plot_curves", type=int, default=0)
     p.add_argument("--debug", type=int, default=0)
     p.add_argument("--compute_dtype", type=str, default=d.compute_dtype,
                    choices=["float32", "bfloat16"])
@@ -110,6 +117,10 @@ def config_from_args(args: argparse.Namespace) -> InterestConfig:
         top_k_mask=bool(args.TOP_K_mask), eval_cold=args.eval_cold,
         test_model=bool(args.test_model), save_logits=bool(args.save_logits),
         ckpt_dir=args.ckpt_dir, debug=bool(args.debug),
+        load=bool(args.load), profile=bool(args.profile),
+        record_train_detail=bool(args.record_train_detail),
+        count_view_completion=bool(args.count_view_completion),
+        plot_curves=bool(args.plot_curves),
         compute_dtype=args.compute_dtype)
     cfg.loss_weight["surviveCE"] = args.loss_weight_surviveCE
     cfg.loss_weight["interestBPR"] = args.loss_weight_interestBPR

@@ -72,6 +72,11 @@ class InterestConfig:
 
     # engine
     ckpt_dir: str = "ckpts_SegMM"
+    load: bool = False               # resume from ckpt-latest before training
+    profile: bool = False            # jax.profiler trace of a few train steps
+    record_train_detail: bool = False
+    count_view_completion: bool = False
+    plot_curves: bool = False        # save train/valid loss curves (png)
     debug: bool = False
     compute_dtype: str = "float32"   # float32 | bfloat16
     remat: bool = True               # rematerialize encoder layers on backward
