@@ -79,7 +79,13 @@ class Corpus:
         self.all_df = pd.concat([self.data_df[k][key_columns]
                                  for k in ("train", "dev", "test")])
         self.n_users = int(self.all_df["user_id"].max()) + 1
-        self.n_items = int(self.all_df["item_id"].max()) + 1
+        max_item = int(self.all_df["item_id"].max())
+        # frame-as-item datasets can carry candidate/meta ids that never
+        # appear as interaction targets (leave frames nobody watched)
+        for key in ("dev", "test"):
+            if self.neg_items[key] is not None and len(self.neg_items[key]):
+                max_item = max(max_item, int(self.neg_items[key].max()))
+        self.n_items = max_item + 1
         logger.info('"# user": %d, "# item": %d, "# entry": %d',
                     self.n_users - 1, self.n_items - 1, len(self.all_df))
 
@@ -116,6 +122,9 @@ class Corpus:
                 meta["i_duration"] = meta["i_duration"].apply(
                     calculate_frame_ids)
             # dense per-item lookup arrays indexed by item_id
+            self.n_items = max(self.n_items,
+                               int(meta["item_id"].max()) + 1)
+            self.feature_max["item_id"] = self.n_items
             for f in self.item_feature_names:
                 arr = np.zeros(self.n_items, np.float64)
                 arr[meta["item_id"].to_numpy()] = meta[f].to_numpy()

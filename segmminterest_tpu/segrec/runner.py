@@ -420,7 +420,7 @@ class CTRRunner(RankingRunner):
         super().__init__(model, cfg, feat_table)
         self.main_metric = cfg.main_metric
 
-    def _loss(self, predictions, batch):
+    def _loss(self, predictions, batch, params=None):
         probs = jax.nn.sigmoid(predictions[:, 0])
         if self.cfg.loss_n == "MSE":
             err = (probs - batch["label"]) ** 2

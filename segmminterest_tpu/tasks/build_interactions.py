@@ -60,10 +60,23 @@ def main(argv=None):
     p.add_argument("--min_interactions", type=int, default=100)
     p.add_argument("--num_warmup", type=int, default=80)
     p.add_argument("--seed", type=int, default=2024)
+    p.add_argument("--dataset", type=str, default="SegMM",
+                   choices=["SegMM", "KuaiRand"],
+                   help="KuaiRand adds the is_click>0 filter and defaults to "
+                        "min_interactions=20, num_warmup=0 "
+                        "(KuaiRand_data_preparation.py)")
     args = p.parse_args(argv)
+    if args.dataset == "KuaiRand":
+        if args.min_interactions == 100:
+            args.min_interactions = 20
+        if args.num_warmup == 80:
+            args.num_warmup = 0
 
     df = normalize_columns(pd.read_csv(args.inter_csv, sep=args.sep))
-    # filters (get_data_SegMM_public.py:51-55)
+    # filters (get_data_SegMM_public.py:51-55; KuaiRand adds is_click>0,
+    # KuaiRand_data_preparation.py:21-64)
+    if args.dataset == "KuaiRand" and "is_click" in df.columns:
+        df = df[df["is_click"] > 0]
     df = df[(df["playing_time"] > 0) & (df["duration_ms"] > 0)
             & (df["duration_ms"] < 200000)].reset_index(drop=True)
     if "label_1D" not in df.columns:

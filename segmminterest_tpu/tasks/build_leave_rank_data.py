@@ -83,6 +83,12 @@ def main(argv=None):
                 "time": row["time_ms"], "neg_items": negs[:39],
                 "c_frame_length": len(frames),
                 "photo_id": int(row["video_id"])})
+        if default_variant and out:
+            # the Default variant appends one default-item row that the
+            # leave-rank evaluator trims (get_test_valid_data_default
+            # :180-182, evaluate_method 'Default' branch)
+            out.append({**out[-1], "item_id": default_id,
+                        "neg_items": [default_id] * 39})
         return pd.DataFrame(out)
 
     def train_rows(part):

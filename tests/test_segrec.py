@@ -60,7 +60,14 @@ def build_model(name, cls, use_frames):
     return cls(emb_size=8, use_frames=use_frames, **common)
 
 
-@pytest.mark.parametrize("name", sorted(MODEL_REGISTRY.keys()))
+# general/sequential baselines have their own fixtures in
+# test_baseline_models.py
+CONTEXT_MODELS = sorted(set(MODEL_REGISTRY) - {
+    "BPRMF", "NeuMF", "LightGCN", "DirectAU", "POP",
+    "SASRec", "GRU4Rec", "Caser"})
+
+
+@pytest.mark.parametrize("name", CONTEXT_MODELS)
 def test_model_forward_shapes(rng, name):
     cls = MODEL_REGISTRY[name]
     use_frames = False
