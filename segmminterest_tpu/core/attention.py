@@ -302,3 +302,87 @@ def fused_masked_attention(q, k, v, mask_q, mask_k, *,
                             mask_k.astype(jnp.int32), float(dropout_rate),
                             bool(deterministic), bool(interpret),
                             float(scale), seed)
+
+
+# ---------------------------------------------------------------------------
+# Two-block wrapper: concat-KV attention with per-block q projections whose
+# custom VJP saves the UNCONCATENATED halves (the zero-padded doubled-dim
+# concat arrays are rebuilt on the fly in both passes). Halves the residual
+# memory of the four-stream attention relative to differentiating through the
+# concat construction.
+# ---------------------------------------------------------------------------
+
+def _two_block_concat(q1, q2, k1, k2, v1, v2):
+    q = jnp.concatenate([q1, q2], axis=-1)
+    z1 = jnp.zeros_like(k1)
+    z2 = jnp.zeros_like(k2)
+    k = jnp.concatenate(
+        [jnp.concatenate([k1, z1], -1), jnp.concatenate([z2, k2], -1)],
+        axis=1)
+    v = jnp.concatenate([v1, v2], axis=1)
+    return q, k, v
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def _fused_two_block(q1, q2, k1, k2, v1, v2, mask_q, mask_k1, mask_k2,
+                     dropout_rate, deterministic, interpret, scale, seed):
+    q, k, v = _two_block_concat(q1, q2, k1, k2, v1, v2)
+    mask_k = jnp.concatenate([mask_k1, mask_k2], axis=1)
+    return _call_fwd(q, k, v, mask_q, mask_k, dropout_rate, seed,
+                     deterministic, interpret, scale)
+
+
+def _two_block_fwd(q1, q2, k1, k2, v1, v2, mask_q, mask_k1, mask_k2,
+                   dropout_rate, deterministic, interpret, scale, seed):
+    out = _fused_two_block(q1, q2, k1, k2, v1, v2, mask_q, mask_k1, mask_k2,
+                           dropout_rate, deterministic, interpret, scale,
+                           seed)
+    return out, (q1, q2, k1, k2, v1, v2, mask_q, mask_k1, mask_k2, seed)
+
+
+def _two_block_bwd(dropout_rate, deterministic, interpret, scale, res, g):
+    q1, q2, k1, k2, v1, v2, mask_q, mask_k1, mask_k2, seed = res
+    q, k, v = _two_block_concat(q1, q2, k1, k2, v1, v2)
+    mask_k = jnp.concatenate([mask_k1, mask_k2], axis=1)
+    dq, dk, dv = _call_bwd(q, k, v, mask_q, mask_k, g, dropout_rate, seed,
+                           deterministic, interpret, scale)
+    D = q1.shape[-1]
+    L1 = k1.shape[1]
+    dq1, dq2 = dq[..., :D], dq[..., D:]
+    dk1 = dk[:, :L1, :, :D]
+    dk2 = dk[:, L1:, :, D:]
+    dv1, dv2 = dv[:, :L1], dv[:, L1:]
+    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return (dq1, dq2, dk1, dk2, dv1, dv2,
+            f0(mask_q), f0(mask_k1), f0(mask_k2), f0(seed))
+
+
+_fused_two_block.defvjp(_two_block_fwd, _two_block_bwd)
+
+
+def fused_two_block_attention(q1, q2, k1, k2, v1, v2, mask_q, mask_k1,
+                              mask_k2, *, dropout_rate: float = 0.0,
+                              seed: Optional[jax.Array] = None,
+                              deterministic: bool = True,
+                              interpret: bool = False,
+                              scale: Optional[float] = None):
+    """Jointly-normalized attention of one query set over two KV blocks with
+    DIFFERENT q projections per block (the SegFormerX concat-KV pattern):
+    block 1 logits use q1.k1, block 2 logits q2.k2, one softmax across both.
+    All of q1/q2/k1/k2/v1/v2 are (B, L, H, Dh)."""
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    seed = seed.reshape(1).astype(jnp.int32)
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(v1.shape[-1]))
+    if not interpret and jax.default_backend() not in ("tpu", "axon"):
+        q, k, v = _two_block_concat(q1, q2, k1, k2, v1, v2)
+        mask_k = jnp.concatenate([mask_k1, mask_k2], axis=1)
+        return _attention_reference(q, k, v, mask_q, mask_k, dropout_rate,
+                                    seed, deterministic, scale)
+    return _fused_two_block(q1, q2, k1, k2, v1, v2,
+                            mask_q.astype(jnp.int32),
+                            mask_k1.astype(jnp.int32),
+                            mask_k2.astype(jnp.int32),
+                            float(dropout_rate), bool(deterministic),
+                            bool(interpret), float(scale), seed)

@@ -227,30 +227,23 @@ class FourStreamAttention(nn.Module):
             usr_out = fused(sh(t2t[0](usr_feat)), sh(t2t[1](usr_feat)),
                             t2t_value, usr_mask, usr_mask, 1)
         else:
-            # split-projection concat: q' = [q_a || q_b] per head, keys
-            # zero-padded on the complementary half, so q'.k' reproduces the
-            # per-block logits and the softmax normalizes across both blocks
-            def concat_q(pa, pb, feat):
-                return jnp.concatenate([sh(pa[0](feat)), sh(pb[0](feat))], -1)
+            # two-block fused path: per-block q projections, one joint
+            # softmax; the custom VJP saves the unconcatenated halves
+            from ..core.attention import fused_two_block_attention
 
-            def concat_k(pa, feat_a, pb, feat_b):
-                ka = sh(pa[1](feat_a))
-                kb = sh(pb[1](feat_b))
-                za = jnp.zeros_like(ka)
-                zb = jnp.zeros_like(kb)
-                return jnp.concatenate(
-                    [jnp.concatenate([ka, za], -1),
-                     jnp.concatenate([zb, kb], -1)], axis=1)
+            def fused2(qa, qb, ka, kb, va, vb, mq, slot):
+                return fused_two_block_attention(
+                    qa, qb, ka, kb, va, vb, mq, vid_mask, usr_mask,
+                    dropout_rate=rate, seed=seed[slot],
+                    deterministic=deterministic, interpret=self.interpret,
+                    scale=scale)
 
-            mask_cat = jnp.concatenate([vid_mask, usr_mask], axis=1)
-            vid_out = fused(concat_q(v2v, t2v, vid_feat),
-                            concat_k(v2v, vid_feat, t2v, usr_feat),
-                            jnp.concatenate([v2v_value, t2v_value], axis=1),
-                            vid_mask, mask_cat, 0)
-            usr_out = fused(concat_q(v2t, t2t, usr_feat),
-                            concat_k(v2t, vid_feat, t2t, usr_feat),
-                            jnp.concatenate([v2t_value, t2t_value], axis=1),
-                            usr_mask, mask_cat, 1)
+            vid_out = fused2(sh(v2v[0](vid_feat)), sh(t2v[0](vid_feat)),
+                             sh(v2v[1](vid_feat)), sh(t2v[1](usr_feat)),
+                             v2v_value, t2v_value, vid_mask, 0)
+            usr_out = fused2(sh(v2t[0](usr_feat)), sh(t2t[0](usr_feat)),
+                             sh(v2t[1](vid_feat)), sh(t2t[1](usr_feat)),
+                             v2t_value, t2t_value, usr_mask, 1)
 
         vid_out = vid_out.reshape(B, vid_feat.shape[1], d)
         usr_out = usr_out.reshape(B, usr_feat.shape[1], d)

@@ -127,3 +127,42 @@ def test_segformerx_fused_matches_unfused(rng):
     s2, _ = fused.apply(params, usr, usr_mask, vid, vid_mask)
     np.testing.assert_allclose(np.asarray(s2[-1]), np.asarray(s1[-1]),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_two_block_matches_reference(rng):
+    """Two-block wrapper vs the single-q materialized path using the
+    concat/zero construction explicitly."""
+    from segmminterest_tpu.core.attention import (_two_block_concat,
+                                                  fused_two_block_attention)
+    B, Lq, L1, L2, H, Dh = 4, 16, 8, 12, 2, 32
+    mk = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
+    q1, q2 = mk(B, Lq, H, Dh), mk(B, Lq, H, Dh)
+    k1, v1 = mk(B, L1, H, Dh), mk(B, L1, H, Dh)
+    k2, v2 = mk(B, L2, H, Dh), mk(B, L2, H, Dh)
+    mq = jnp.asarray(rng.random((B, Lq)) < 0.8)
+    m1 = jnp.asarray(rng.random((B, L1)) < 0.8)
+    m2 = jnp.asarray(rng.random((B, L2)) < 0.8)
+    q, k, v = _two_block_concat(q1, q2, k1, k2, v1, v2)
+    want = _attention_reference(q, k, v, mq, jnp.concatenate([m1, m2], 1),
+                                0.0, jnp.zeros(1, jnp.int32), True,
+                                1.0 / np.sqrt(Dh))
+    got = fused_two_block_attention(q1, q2, k1, k2, v1, v2, mq, m1, m2,
+                                    deterministic=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5,
+                               atol=2e-5)
+    # gradients flow through all six inputs
+    def loss(q1, k2, v1):
+        return (fused_two_block_attention(
+            q1, q2, k1, k2, v1, v2, mq, m1, m2, deterministic=True,
+            interpret=True) ** 2).sum()
+    g = jax.grad(loss, argnums=(0, 1, 2))(q1, k2, v1)
+    def loss_ref(q1, k2, v1):
+        q, k, v = _two_block_concat(q1, q2, k1, k2, v1, v2)
+        return (_attention_reference(q, k, v, mq,
+                                     jnp.concatenate([m1, m2], 1), 0.0,
+                                     jnp.zeros(1, jnp.int32), True,
+                                     1.0 / np.sqrt(Dh)) ** 2).sum()
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q1, k2, v1)
+    for a, b, name in zip(g, g_ref, ["q1", "k2", "v1"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4,
+                                   atol=5e-4, err_msg=name)
