@@ -133,6 +133,40 @@ def prob_auc_batch(probs, labels, masks):
     return _auc_score(valid_labels, valid_probs)
 
 
+def draw_hotmap(interest_row, gt_row, uid_pid: str, out_dir: str):
+    """Case-study heatmap of one interaction's interest vs leave labels
+    (my_evaluation.py:233-262). Saves figure/<uid_pid>.png."""
+    import os
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.colors as mcolors
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return None
+    cmap = mcolors.LinearSegmentedColormap.from_list(
+        "custom_hot", [(0.0, mcolors.to_rgba("white")),
+                       (0.5, mcolors.to_rgba("red")),
+                       (1.0, mcolors.to_rgba("red"))])
+    data = np.stack((np.asarray(interest_row, np.float64),
+                     np.asarray(gt_row, np.float64)), axis=0)
+    plt.figure(figsize=(8, 4))
+    for j, title in enumerate(("interest", "leavegt")):
+        plt.subplot(2, 1, j + 1)
+        plt.imshow(data[j].reshape(1, -1), cmap=cmap,
+                   vmin=0, vmax=1, aspect="auto")
+        plt.title(title)
+        for k2, v in enumerate(data[j]):
+            plt.text(k2, 0, f"{v:.3f}", ha="center", va="center",
+                     color="black", fontsize=5)
+    plt.suptitle(uid_pid)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"{uid_pid}.png")
+    plt.savefig(path)
+    plt.close()
+    return path
+
+
 def make_results_list(eval_types: List[str]) -> Dict[str, list]:
     results: Dict[str, list] = {}
     for et in eval_types:

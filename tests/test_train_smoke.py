@@ -75,3 +75,37 @@ def test_training_end_to_end(tmp_path, sample_reader):
     assert any(f.startswith("ckpt-best") for f in files)
     # validation metric history recorded
     assert len(result["valid_metrics"]["HR@5"]) >= 2
+
+
+def test_kuairand_dialect_end_to_end(tmp_path, rng):
+    """KuaiRand column dialect (photo_id / play_time_ms, no label_1D) flows
+    through the same reader + training path (SURVEY.md A2/A9)."""
+    import pandas as pd
+    from segmminterest_tpu.data.reader import SeqReader
+    from segmminterest_tpu.engine.train import run_training
+    from segmminterest_tpu.utils.config import InterestConfig
+    n = 3000
+    df = pd.DataFrame({
+        "user_id": rng.integers(1, 12, size=n),
+        "photo_id": rng.integers(1, 300, size=n),
+        "time_ms": rng.integers(1_000_000, 2_000_000, size=n),
+        "duration_ms": rng.integers(5_000, 199_000, size=n),
+        "play_time_ms": rng.integers(1, 150_000, size=n),
+        "is_click": rng.integers(0, 2, size=n),
+    })
+    csv = str(tmp_path / "kuairand.csv")
+    df.to_csv(csv, index=False)
+    reader = SeqReader.from_single_csv(csv, min_interactions=50,
+                                       num_warmup=5)
+    assert len(reader.tables["train"]) > 0
+    # labels were constructed from duration/playing (no label_1D column)
+    labs = reader.tables["train"].labels
+    assert set(np.unique(labs)) <= {1, 0, -1, -2}
+    cfg = InterestConfig(
+        d_model=32, nhead=4, num_layers_enc=2, user_input_type="id",
+        photo_input_type="id", fusion_heads=2, train_batch_size=128,
+        valid_batch_size=128, test_batch_size=128, epochs=1, valid_step=2,
+        early_stop=0, loss_type="interestBPR", exposure_prob=[1.0] * 40,
+        ckpt_dir=str(tmp_path / "ck"), debug=True)
+    result = run_training(cfg, reader)
+    assert np.isfinite(result["test_metrics"]["HR@5"])
