@@ -74,7 +74,8 @@ class InterestEngine:
             fusion_heads=config.fusion_heads,
             learnable_bias=config.learnable_bias, use_pe=config.use_pe,
             ablation=config.ablation_type, dtype=dtype, remat=config.remat,
-            fused_attention=config.fused_attention)
+            fused_attention=config.fused_attention,
+            fuse_projections=config.fuse_projections)
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(config.grad_clip_norm),
             optax.adamw(config.learning_rate,

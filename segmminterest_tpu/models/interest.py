@@ -90,6 +90,7 @@ class SegInterestModel(nn.Module):
     remat: bool = False
     fused_attention: bool = False
     interpret: bool = False
+    fuse_projections: bool = False
 
     def setup(self):
         dual = (self.user_input == "both") or (self.photo_input == "both")
@@ -107,7 +108,8 @@ class SegInterestModel(nn.Module):
                 ablation=self.ablation, output_layers=[-1],
                 dtype=self.dtype, remat=self.remat,
                 fused_attention=self.fused_attention,
-                interpret=self.interpret, name=name)
+                interpret=self.interpret,
+                fuse_projections=self.fuse_projections, name=name)
 
         self.backbone1 = make_backbone(u1_id, u1_len, v1_id, "backbone1")
         self.dual = dual

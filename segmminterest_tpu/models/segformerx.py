@@ -104,6 +104,10 @@ class FourStreamAttention(nn.Module):
     dtype: Any = jnp.float32
     fused: bool = False
     interpret: bool = False  # route the kernel through the interpreter (tests)
+    # horizontal fusion: the 6 per-stream projections of each input stream
+    # become one wide Dense (identical init distribution, one HBM read of
+    # the activations instead of six)
+    fuse_projections: bool = False
 
     def _split_heads(self, x):
         b, l, _ = x.shape
@@ -132,10 +136,18 @@ class FourStreamAttention(nn.Module):
             k = self._split_heads(p[1](feat_k))
             return masked_attention_logits(q, k, mask_q, mask_k)
 
-        v2v_value = self._split_heads(v2v[2](vid_feat))
-        t2v_value = self._split_heads(t2v[2](usr_feat))
-        v2t_value = self._split_heads(v2t[2](vid_feat))
-        t2t_value = self._split_heads(t2t[2](usr_feat))
+        # with fuse_projections the 'ours' fused path sources everything from
+        # the two wide Denses — don't create the per-stream params at all
+        wide = (self.fused and self.fuse_projections
+                and "CrossAtt" not in self.ablation
+                and "SelfAtt" not in self.ablation)
+        if wide:
+            v2v_value = t2v_value = v2t_value = t2t_value = None
+        else:
+            v2v_value = self._split_heads(v2v[2](vid_feat))
+            t2v_value = self._split_heads(t2v[2](usr_feat))
+            v2t_value = self._split_heads(v2t[2](vid_feat))
+            t2t_value = self._split_heads(t2t[2](usr_feat))
 
         if self.fused:
             return self._fused_forward(
@@ -238,12 +250,28 @@ class FourStreamAttention(nn.Module):
                     deterministic=deterministic, interpret=self.interpret,
                     scale=scale)
 
-            vid_out = fused2(sh(v2v[0](vid_feat)), sh(t2v[0](vid_feat)),
-                             sh(v2v[1](vid_feat)), sh(t2v[1](usr_feat)),
-                             v2v_value, t2v_value, vid_mask, 0)
-            usr_out = fused2(sh(v2t[0](usr_feat)), sh(t2t[0](usr_feat)),
-                             sh(v2t[1](vid_feat)), sh(t2t[1](usr_feat)),
-                             v2t_value, t2t_value, usr_mask, 1)
+            if self.fuse_projections:
+                vid_all = nn.Dense(6 * d, kernel_init=DENSE_INIT,
+                                   dtype=self.dtype,
+                                   name="vid_projs")(vid_feat)
+                usr_all = nn.Dense(6 * d, kernel_init=DENSE_INIT,
+                                   dtype=self.dtype,
+                                   name="usr_projs")(usr_feat)
+                (q_v2v, k_v2v, vv_v2v, q_t2v, k_v2t, vv_v2t) = [
+                    sh(vid_all[..., j * d:(j + 1) * d]) for j in range(6)]
+                (k_t2v, vv_t2v, q_v2t, q_t2t, k_t2t, vv_t2t) = [
+                    sh(usr_all[..., j * d:(j + 1) * d]) for j in range(6)]
+                vid_out = fused2(q_v2v, q_t2v, k_v2v, k_t2v,
+                                 vv_v2v, vv_t2v, vid_mask, 0)
+                usr_out = fused2(q_v2t, q_t2t, k_v2t, k_t2t,
+                                 vv_v2t, vv_t2t, usr_mask, 1)
+            else:
+                vid_out = fused2(sh(v2v[0](vid_feat)), sh(t2v[0](vid_feat)),
+                                 sh(v2v[1](vid_feat)), sh(t2v[1](usr_feat)),
+                                 v2v_value, t2v_value, vid_mask, 0)
+                usr_out = fused2(sh(v2t[0](usr_feat)), sh(t2t[0](usr_feat)),
+                                 sh(v2t[1](vid_feat)), sh(t2t[1](usr_feat)),
+                                 v2t_value, t2t_value, usr_mask, 1)
 
         vid_out = vid_out.reshape(B, vid_feat.shape[1], d)
         usr_out = usr_out.reshape(B, usr_feat.shape[1], d)
@@ -271,6 +299,7 @@ class SegFormerXLayer(nn.Module):
     dtype: Any = jnp.float32
     fused: bool = False
     interpret: bool = False
+    fuse_projections: bool = False
 
     @nn.compact
     def __call__(self, usr_feat, usr_mask, vid_feat, vid_mask,
@@ -279,6 +308,7 @@ class SegFormerXLayer(nn.Module):
             d_model=self.d_model, num_heads=self.num_heads,
             dropout=self.dropout, ablation=self.ablation, dtype=self.dtype,
             fused=self.fused, interpret=self.interpret,
+            fuse_projections=self.fuse_projections,
             name="cross_attn")(
                 vid_feat, vid_mask, usr_feat, usr_mask,
                 deterministic=deterministic)
@@ -347,6 +377,9 @@ class SegFormerX(nn.Module):
     # run the mask/dropout/softmax/AV chain in the fused Pallas kernel
     fused_attention: bool = False
     interpret: bool = False
+    # horizontally fuse the 12 per-stream QKV Denses into 2 wide ones
+    # (same init distribution; one activation read instead of six)
+    fuse_projections: bool = False
 
     @nn.compact
     def __call__(self, usr_feat, usr_mask, vid_feat, vid_mask, *,
@@ -442,6 +475,7 @@ class SegFormerX(nn.Module):
                 dropout=self.dropout, ablation=self.ablation,
                 dtype=self.dtype, fused=self.fused_attention,
                 interpret=self.interpret,
+                fuse_projections=self.fuse_projections,
                 name=f"layer_{i}")(usr_cur, usr_mask, states[-1], vid_mask,
                                    deterministic)
             states.append(vid_next)

@@ -89,6 +89,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug", type=int, default=0)
     p.add_argument("--compute_dtype", type=str, default=d.compute_dtype,
                    choices=["float32", "bfloat16"])
+    p.add_argument("--remat", type=int, default=int(d.remat),
+                   help="rematerialize encoder layers on backward")
+    p.add_argument("--fused_attention", type=int,
+                   default=int(d.fused_attention),
+                   help="Pallas fused masked-attention kernel")
+    p.add_argument("--fuse_projections", type=int,
+                   default=int(d.fuse_projections),
+                   help="horizontally fuse the 12 per-stream QKV projections")
     return p
 
 
@@ -121,7 +129,9 @@ def config_from_args(args: argparse.Namespace) -> InterestConfig:
         record_train_detail=bool(args.record_train_detail),
         count_view_completion=bool(args.count_view_completion),
         plot_curves=bool(args.plot_curves),
-        compute_dtype=args.compute_dtype)
+        compute_dtype=args.compute_dtype, remat=bool(args.remat),
+        fused_attention=bool(args.fused_attention),
+        fuse_projections=bool(args.fuse_projections))
     cfg.loss_weight["surviveCE"] = args.loss_weight_surviveCE
     cfg.loss_weight["interestBPR"] = args.loss_weight_interestBPR
     cfg.loss_weight["interestCE"] = args.loss_weight_interestCE

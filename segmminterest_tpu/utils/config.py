@@ -81,6 +81,11 @@ class InterestConfig:
     compute_dtype: str = "float32"   # float32 | bfloat16
     remat: bool = True               # rematerialize encoder layers on backward
     fused_attention: bool = True     # Pallas fused masked attention kernel
+    # horizontally fuse the 12 per-stream QKV projections into 2 wide matmuls
+    # per attention (same init distribution). Measured neutral-to-slower on
+    # v5e at the flagship config (XLA already shares the activation reads;
+    # the 6-way slice of the wide output adds copies), so off by default.
+    fuse_projections: bool = False
     # dropout PRNG implementation: 'rbg' is much faster than 'threefry2x32'
     # on TPU for the large attention-logit dropout masks
     rng_impl: str = "rbg"

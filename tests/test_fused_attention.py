@@ -166,3 +166,56 @@ def test_two_block_matches_reference(rng):
     for a, b, name in zip(g, g_ref, ["q1", "k2", "v1"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4,
                                    atol=5e-4, err_msg=name)
+
+
+def test_fuse_projections_matches_per_stream(rng):
+    """fuse_projections=True (two wide QKV Denses per attention) must equal
+    the 12-Dense path when the wide kernels are assembled from the small
+    ones in slot order."""
+    from segmminterest_tpu.models.segformerx import SegFormerX
+    B, Lu, Df, D = 4, 12, 48, 64
+    usr = jnp.asarray(rng.normal(size=(B, Lu, Df)), jnp.float32)
+    vid = jnp.asarray(rng.normal(size=(B, 40, Df)), jnp.float32)
+    usr_mask = jnp.asarray(rng.random((B, Lu)) < 0.8)
+    vid_mask = jnp.asarray(rng.random((B, 40)) < 0.8)
+
+    kwargs = dict(d_model=D, num_heads=4, num_layers=3, ff_dim=96,
+                  user_id_max=-1, video_id_max=-1, output_layers=[-1],
+                  max_usr_len=Lu, fused_attention=True, interpret=True)
+    base = SegFormerX(**kwargs)
+    wide = SegFormerX(**kwargs, fuse_projections=True)
+    params = base.init(jax.random.PRNGKey(0), usr, usr_mask, vid, vid_mask)
+
+    # slot order must mirror FourStreamAttention._fused_forward
+    VID_SLOTS = [("v2v_proj", 0), ("v2v_proj", 1), ("v2v_proj", 2),
+                 ("t2v_proj", 0), ("v2t_proj", 1), ("v2t_proj", 2)]
+    USR_SLOTS = [("t2v_proj", 1), ("t2v_proj", 2), ("v2t_proj", 0),
+                 ("t2t_proj", 0), ("t2t_proj", 1), ("t2t_proj", 2)]
+
+    import copy
+    wide_params = copy.deepcopy(jax.tree_util.tree_map(np.asarray, params))
+    for lp in wide_params["params"].values():
+        if "cross_attn" not in lp:
+            continue
+        ca = lp["cross_attn"]
+        for out_name, slots in (("vid_projs", VID_SLOTS),
+                                ("usr_projs", USR_SLOTS)):
+            ca[out_name] = {
+                "kernel": np.concatenate(
+                    [ca[f"{n}_{i}"]["kernel"] for n, i in slots], axis=1),
+                "bias": np.concatenate(
+                    [ca[f"{n}_{i}"]["bias"] for n, i in slots], axis=0)}
+        # the per-stream Denses don't exist in the wide model's tree
+        for n in ("v2v_proj", "t2v_proj", "v2t_proj", "t2t_proj"):
+            for i in range(3):
+                ca.pop(f"{n}_{i}")
+
+    s1, _ = base.apply(params, usr, usr_mask, vid, vid_mask)
+    s2, _ = wide.apply(wide_params, usr, usr_mask, vid, vid_mask)
+    np.testing.assert_allclose(np.asarray(s2[-1]), np.asarray(s1[-1]),
+                               rtol=2e-4, atol=2e-4)
+    # tree shape sanity: the wide model inits to exactly this structure
+    ref = wide.init(jax.random.PRNGKey(1), usr, usr_mask, vid, vid_mask)
+    assert (jax.tree_util.tree_structure(ref)
+            == jax.tree_util.tree_structure(
+                jax.tree_util.tree_map(jnp.asarray, wide_params)))
