@@ -186,17 +186,17 @@ def main(argv=None):
     task = "ctr" if args.model_mode == "CTR" else "ranking"
 
     corpus = Corpus(args.path, args.dataset, sep=args.sep)
+    # dense -> raw id maps: logit-key lookup (SegRec/models/BaseModel.py:132-136)
+    # and raw-id re-mapping of saved results (SegRec/main.py:148-187)
+    id2user = id2item = None
+    base = osp.join(args.path, args.dataset)
+    if osp.exists(osp.join(base, "id2user.json")):
+        with open(osp.join(base, "id2user.json")) as f:
+            id2user = json.load(f)
+        with open(osp.join(base, "id2item.json")) as f:
+            id2item = json.load(f)
     clip_weights = None
     if args.clip_weight_path:
-        # dense -> raw id maps for logit-key lookup
-        # (SegRec/models/BaseModel.py:132-136)
-        id2user = id2item = None
-        base = osp.join(args.path, args.dataset)
-        if osp.exists(osp.join(base, "id2user.json")):
-            with open(osp.join(base, "id2user.json")) as f:
-                id2user = json.load(f)
-            with open(osp.join(base, "id2item.json")) as f:
-                id2item = json.load(f)
         clip_weights = ClipWeights(args.clip_weight_path,
                                    id2user=id2user, id2item=id2item,
                                    neg_weight_path=args.eval_neg_weight_path)
@@ -253,6 +253,8 @@ def main(argv=None):
         out_path = osp.join(
             args.result_dir,
             f"rec-{args.model_name}{args.model_mode}-test_wuauc={wuauc}.csv")
+        if id2user is not None:  # raw ids on save (SegRec/main.py:148-187)
+            users = [id2user.get(str(u), u) for u in users]
         pd.DataFrame({"user_id": users, "pCTR": preds,
                       "label": labels}).to_csv(out_path, sep="\t", index=False)
         logger.info("saved CTR predictions to %s", out_path)

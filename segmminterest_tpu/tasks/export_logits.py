@@ -59,8 +59,20 @@ def main(argv=None):
                    choices=["best", "latest"])
     p.add_argument("--out_dir", type=str, default="saved_logits")
     p.add_argument("--splits", type=str, default="train,dev,test")
+    p.add_argument("--parse_work_dir", type=int, default=1,
+                   help="re-parse hyperparameters from the work_dir name, "
+                        "as the reference inference scripts do "
+                        "(save_logits_for_all_leave_SegMM.py:249-259); "
+                        "explicit CLI model flags are then overridden")
     args = p.parse_args(argv)
     cfg = config_from_args(args)
+    if args.parse_work_dir:
+        try:
+            cfg = cfg.with_param_dir(args.work_dir)
+            logger.info("parsed hyperparams from work_dir name: %s",
+                        cfg.param_dir())
+        except ValueError as e:
+            logger.warning("%s — using CLI flags instead", e)
 
     if cfg.sample_csv:
         reader = SeqReader.from_single_csv(

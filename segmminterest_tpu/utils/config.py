@@ -111,3 +111,23 @@ class InterestConfig:
 
     def replace(self, **kw) -> "InterestConfig":
         return dataclasses.replace(self, **kw)
+
+    def with_param_dir(self, dirname: str) -> "InterestConfig":
+        """Invert :meth:`param_dir`: re-parse the hyperparameters encoded in
+        a checkpoint directory name, as the reference inference scripts do
+        (save_logits_for_all_leave_SegMM.py:249-259). Positional: none of
+        the encoded fields contain underscores."""
+        toks = dirname.rstrip("/").split("/")[-1].split("_")
+        if len(toks) != 14 or toks[-2:] != ["earlystop", "focal"]:
+            raise ValueError(
+                f"{dirname!r} is not a param_dir-formatted name "
+                "(want 14 '_'-separated fields ending 'earlystop_focal')")
+        cfg = self.replace(
+            num_layers_enc=int(toks[0]), exposure_prob_type=toks[1],
+            learning_rate=float(toks[2]), weight_decay=float(toks[3]),
+            learnable_bias=bool(int(toks[4])), loss_type=toks[5],
+            user_input_type=toks[7], photo_input_type=toks[8],
+            mask_loss=bool(int(toks[9])), use_pe=bool(int(toks[10])),
+            fusion_heads=int(toks[11]))
+        cfg.loss_weight["interestBPR"] = float(toks[6])
+        return cfg
