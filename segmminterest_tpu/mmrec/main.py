@@ -80,6 +80,7 @@ def build_mmrec_data(inter_csv, sep, min_interactions, num_warmup, seed):
         "dev": eval_inters(parts["dev"]), "test": eval_inters(parts["test"]),
         "all": (eval_inters(parts["train"]) + eval_inters(parts["dev"])
                 + eval_inters(parts["test"])),
+        "train_photos": set(int(p) for p in parts["train"]["video_id"]),
     }
 
 
@@ -107,6 +108,10 @@ def main(argv=None):
     p.add_argument("--use_mask_eval", type=int, default=1)
     p.add_argument("--seed", type=int, default=2020)
     p.add_argument("--save_logits", type=str, default="")
+    p.add_argument("--test_cold", type=int, default=0,
+                   help="also report cold/hot test splits (videos unseen/"
+                        "seen in training) — MMRec fork main.py:21-23, "
+                        "topk_evaluator.py:235-260")
     args = p.parse_args(argv)
 
     data = build_mmrec_data(args.inter_csv, args.sep, args.min_interactions,
@@ -139,6 +144,19 @@ def main(argv=None):
                          data["n_items"])
     best_state, result = runner.train(data["dev"], data["test"],
                                       data["frame_map"])
+    if args.test_cold:
+        cold = [r for r in data["test"]
+                if r["photo_id"] not in data["train_photos"]]
+        hot = [r for r in data["test"]
+               if r["photo_id"] in data["train_photos"]]
+        eval_rng = np.random.default_rng(args.seed)
+        result["cold_test"] = (runner.evaluate(best_state, cold,
+                                               data["frame_map"], eval_rng)
+                               if cold else {})
+        result["hot_test"] = (runner.evaluate(best_state, hot,
+                                              data["frame_map"], eval_rng)
+                              if hot else {})
+        logger.info("cold/hot test sizes: %d/%d", len(cold), len(hot))
     if args.save_logits:
         logits = runner.export_logits(best_state, data["all"],
                                       data["frame_map"])

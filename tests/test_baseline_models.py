@@ -138,6 +138,10 @@ def test_mmrec_end_to_end(rng):
                       "--min_interactions", "30", "--num_warmup", "10",
                       "--epochs", "2", "--stopping_step", "2",
                       "--emb_size", "8", "--knn_k", "4",
-                      "--feat_dim", "16"])
+                      "--feat_dim", "16", "--test_cold", "1"])
     assert "hr@5" in result["best_test_upon_valid"]
     assert 0 <= result["best_test_upon_valid"]["hr@5"] <= 1
+    # --test_cold reports both splits (MMRec fork topk_evaluator:235-260);
+    # every sampled video appears in training, so cold may be empty
+    assert "cold_test" in result and "hot_test" in result
+    assert 0 <= result["hot_test"]["hr@5"] <= 1
