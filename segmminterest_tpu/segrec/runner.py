@@ -365,26 +365,34 @@ class RankingRunner:
         main_results: List[float] = []
         dev_results: List[Dict[str, float]] = []
         best_state = jax.tree.map(np.asarray, state)
-        for epoch in range(self.cfg.epoch):
-            state, loss = self.fit(builders["train"], state, epoch + 1)
-            if np.isnan(loss):
-                logger.info("Loss is NaN. Stop training at %d.", epoch + 1)
-                break
-            dev_result = self.evaluate(
-                builders["dev"], state,
-                topk=[int(self.main_metric.split("@")[1])]
-                if "@" in self.main_metric else None)
-            dev_results.append(dev_result)
-            main_results.append(dev_result[self.main_metric])
-            star = ""
-            if max(main_results) == main_results[-1]:
-                best_state = jax.tree.map(np.asarray, state)
-                star = " *"
-            logger.info("Epoch %-4d loss=%.4f dev=%s%s", epoch + 1, loss,
-                        dev_result, star)
-            if self.eval_termination(main_results, self.cfg.early_stop):
-                logger.info("Early stop at %d based on dev result.", epoch + 1)
-                break
+        try:
+            for epoch in range(self.cfg.epoch):
+                state, loss = self.fit(builders["train"], state, epoch + 1)
+                if np.isnan(loss):
+                    logger.info("Loss is NaN. Stop training at %d.",
+                                epoch + 1)
+                    break
+                dev_result = self.evaluate(
+                    builders["dev"], state,
+                    topk=[int(self.main_metric.split("@")[1])]
+                    if "@" in self.main_metric else None)
+                dev_results.append(dev_result)
+                main_results.append(dev_result[self.main_metric])
+                star = ""
+                if max(main_results) == main_results[-1]:
+                    best_state = jax.tree.map(np.asarray, state)
+                    star = " *"
+                logger.info("Epoch %-4d loss=%.4f dev=%s%s", epoch + 1, loss,
+                            dev_result, star)
+                if self.eval_termination(main_results, self.cfg.early_stop):
+                    logger.info("Early stop at %d based on dev result.",
+                                epoch + 1)
+                    break
+        except KeyboardInterrupt:
+            # graceful exit keeping the best state so far
+            # (BaseRunner.py:165-170)
+            logger.info("Interrupted; returning best state so far "
+                        "(%d completed evals).", len(dev_results))
         best_epoch = int(np.argmax(main_results)) if main_results else -1
         logger.info("Best Iter(dev)=%d dev=%s", best_epoch + 1,
                     dev_results[best_epoch] if dev_results else {})
