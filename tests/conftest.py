@@ -25,3 +25,15 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="session")
+def segrec_data(tmp_path_factory):
+    """SegRec ranking+CTR datasets built from the published sample csv
+    (shared by test_segrec and test_tasks)."""
+    out = str(tmp_path_factory.mktemp("segrec_data"))
+    from segmminterest_tpu.tasks.build_segrec_data import main as build
+    build(["--inter_csv", "/root/reference/SegMM_inter_sample.csv",
+           "--out", out, "--name", "SegMM", "--min_interactions", "30",
+           "--num_warmup", "10", "--n_eval_neg", "9"])
+    return out

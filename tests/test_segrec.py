@@ -142,16 +142,6 @@ def test_wuauc(rng):
     assert 0 <= w <= 1
 
 
-@pytest.fixture(scope="module")
-def segrec_data(tmp_path_factory):
-    out = str(tmp_path_factory.mktemp("segrec_data"))
-    from segmminterest_tpu.tasks.build_segrec_data import main as build
-    build(["--inter_csv", "/root/reference/SegMM_inter_sample.csv",
-           "--out", out, "--name", "SegMM", "--min_interactions", "30",
-           "--num_warmup", "10", "--n_eval_neg", "9"])
-    return out
-
-
 def test_ctr_end_to_end(segrec_data):
     from segmminterest_tpu.segrec.main import main as segrec_main
     result = segrec_main(["--model_name", "WideDeep", "--model_mode", "CTR",
