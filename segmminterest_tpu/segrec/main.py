@@ -71,6 +71,10 @@ def build_parser():
     p.add_argument("--result_dir", type=str, default="results")
     # SkipPredBaseline fork features (ReChorus/src/main.py:39,105-141 and
     # helpers/BaseRunner.py:52-114)
+    p.add_argument("--use_mesh", type=int, default=1,
+                   help="shard batches over all devices on a ('data','model') "
+                        "mesh when >1 device is visible and the batch sizes "
+                        "divide the device count")
     p.add_argument("--leave_rank", type=int, default=0,
                    help="evaluate with the leave-frame ranking variant")
     p.add_argument("--all_inference", type=int, default=0,
@@ -230,13 +234,23 @@ def main(argv=None):
         main_metric=args.main_metric,
         loss_n=args.loss_n or ("BCE" if task == "ctr" else "BPR"),
         seed=args.random_seed)
+    mesh = None
+    if args.use_mesh:
+        import jax
+        from ..core.mesh import make_mesh
+        n_dev = len(jax.devices())
+        if (n_dev > 1 and args.batch_size % n_dev == 0
+                and args.eval_batch_size % n_dev == 0):
+            mesh = make_mesh(jax.devices())
+            logger.info("batch sharding over %d devices", n_dev)
+
     if task == "ctr":
-        runner = CTRRunner(model, cfg, feat_table=feat_table)
+        runner = CTRRunner(model, cfg, feat_table=feat_table, mesh=mesh)
     elif args.leave_rank:
         runner = LeaveRankingRunner(model, cfg, feat_table=feat_table,
-                                    data_name=args.dataset)
+                                    data_name=args.dataset, mesh=mesh)
     else:
-        runner = RankingRunner(model, cfg, feat_table=feat_table)
+        runner = RankingRunner(model, cfg, feat_table=feat_table, mesh=mesh)
 
     best_state, history = runner.train(builders)
     dev_res = runner.evaluate(builders["dev"], best_state)

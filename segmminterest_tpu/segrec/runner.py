@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ..core.mesh import batch_sharding, replicated_sharding
 from ..engine.evaluation import _auc_score
 from .feeds import FeedBuilder
 
@@ -195,7 +196,7 @@ def evaluate_wuauc(predictions, labels, user_ids):
 class RankingRunner:
     task = "ranking"
 
-    def __init__(self, model, cfg: RunnerConfig, feat_table=None):
+    def __init__(self, model, cfg: RunnerConfig, feat_table=None, mesh=None):
         self.model = model
         self.cfg = cfg
         self.metrics = tuple(m.strip().upper() for m in cfg.metrics)
@@ -206,8 +207,24 @@ class RankingRunner:
                            if feat_table is not None else None)
         self.optimizer = self._build_optimizer()
         self.rng = np.random.default_rng(cfg.seed)
-        self._jit_train = jax.jit(self._train_step, donate_argnums=(0,))
-        self._jit_eval = jax.jit(self._eval_step)
+        self.mesh = mesh
+        if mesh is not None:
+            # batch-parallel SPMD over the ('data','model') mesh: params and
+            # optimizer state replicated, batches split on the leading axis,
+            # gradient psum emitted by XLA — the TPU-native stand-in for the
+            # reference's never-called DDP utilities
+            # (kn_util/distributed/utils.py:47-63)
+            bs = batch_sharding(mesh)
+            repl = replicated_sharding(mesh)
+            self._jit_train = jax.jit(
+                self._train_step, donate_argnums=(0,),
+                in_shardings=(repl, bs, repl), out_shardings=(repl, repl))
+            self._jit_eval = jax.jit(
+                self._eval_step, in_shardings=(repl, bs, repl),
+                out_shardings=bs)
+        else:
+            self._jit_train = jax.jit(self._train_step, donate_argnums=(0,))
+            self._jit_eval = jax.jit(self._eval_step)
         self.state = None
 
     # ------------------------------------------------------------------
@@ -406,8 +423,8 @@ class LeaveRankingRunner(RankingRunner):
     with duration masking / default-row trimming)."""
 
     def __init__(self, model, cfg: RunnerConfig, feat_table=None,
-                 data_name: str = ""):
-        super().__init__(model, cfg, feat_table)
+                 data_name: str = "", mesh=None):
+        super().__init__(model, cfg, feat_table, mesh=mesh)
         self.data_name = data_name
 
     def evaluate(self, builder: FeedBuilder, state, topk=None, metrics=None):
@@ -421,11 +438,11 @@ class LeaveRankingRunner(RankingRunner):
 class CTRRunner(RankingRunner):
     task = "ctr"
 
-    def __init__(self, model, cfg: RunnerConfig, feat_table=None):
+    def __init__(self, model, cfg: RunnerConfig, feat_table=None, mesh=None):
         if not cfg.main_metric:
             cfg.main_metric = tuple(m.strip().upper()
                                     for m in cfg.metrics)[0]
-        super().__init__(model, cfg, feat_table)
+        super().__init__(model, cfg, feat_table, mesh=mesh)
         self.main_metric = cfg.main_metric
 
     def _loss(self, predictions, batch, params=None):

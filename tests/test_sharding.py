@@ -49,3 +49,23 @@ def test_sharded_matches_single_device_training():
     for a, b in zip(flat0, flat1):
         # cross-device psum reorders fp32 reductions; tolerance covers that
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
+
+
+def test_segrec_runner_sharded_matches_single_device(segrec_data):
+    """SegRec CTR training end-to-end: the 8-device batch-sharded runner
+    must produce the same metrics as the single-device path (GSPMD psum
+    is the only difference)."""
+    from segmminterest_tpu.segrec.main import main as segrec_main
+    results = []
+    for use_mesh in ("0", "1"):
+        r = segrec_main(["--model_name", "FM", "--model_mode", "CTR",
+                         "--path", segrec_data, "--dataset", "SegMM_CTR",
+                         "--epoch", "2", "--early_stop", "0",
+                         "--batch_size", "256", "--eval_batch_size", "256",
+                         "--use_mesh", use_mesh])
+        results.append(r)
+    a, b = results[0]["test"], results[1]["test"]
+    assert a.keys() == b.keys()
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], rtol=2e-4, atol=2e-5,
+                                   err_msg=k)
