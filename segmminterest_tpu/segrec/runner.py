@@ -123,13 +123,21 @@ def evaluate_leave_ranking(predictions: np.ndarray, topk, metrics,
     the trailing default-item row."""
     predictions = np.asarray(predictions, dtype=np.float64)
     bsz, seq_len = predictions.shape
-    if durations is not None and "Default" not in data_name:
+    if (durations is not None and "Default" not in data_name
+            and "Fill" not in data_name):
         dur = np.asarray(durations)[:, None]
         mask = np.arange(seq_len)[None, :] < dur
         predictions = np.where(mask, predictions, np.inf)
     elif "Default" in data_name:
         predictions = predictions[:-1]
         bsz -= 1
+    elif "Fill" in data_name:
+        # Fill datasets append a fixed count of filler rows that the
+        # evaluator trims (BaseRunner.py:82-87): 23 for KuaiMM, 36 for
+        # KuaiRand — the reference's dataset-specific magic constants
+        n_fill = 36 if "KuaiRand" in data_name else 23
+        predictions = predictions[:-n_fill]
+        bsz -= n_fill
     r = rng if rng is not None else np.random
     permuted = np.stack([r.permutation(seq_len) for _ in range(bsz)]) \
         if bsz else np.zeros((0, seq_len), np.int64)

@@ -156,3 +156,31 @@ def test_ablation_paths(rng, ablation):
     params = enc.init(jax.random.PRNGKey(0), usr, usr_mask, vid, vid_mask)
     states, _ = enc.apply(params, usr, usr_mask, vid, vid_mask)
     assert states[-1].shape == (B, 40, D)
+
+
+def test_nopos_ablation_permutes_frame_positions(rng):
+    """'noPos' in ID mode feeds a random per-row frame-position permutation
+    during training and the identity order at eval (encoder.py:392-409)."""
+    B, Lu = 4, 10
+    enc = SegFormerX(d_model=D, num_heads=H, num_layers=2, ff_dim=FF,
+                     user_id_max=30, video_id_max=60, output_layers=[-1],
+                     max_usr_len=Lu, ablation="noPos")
+    usr = jnp.asarray(rng.integers(1, 30, size=(B,)), jnp.int32)
+    vid = jnp.asarray(rng.integers(1, 60, size=(B,)), jnp.int32)
+    usr_mask = jnp.ones((B, 1), bool)
+    vid_mask = jnp.ones((B, 40), bool)
+    params = enc.init(jax.random.PRNGKey(0), usr, usr_mask, vid, vid_mask)
+
+    def run(deterministic, seed):
+        rngs = None if deterministic else \
+            {"dropout": jax.random.PRNGKey(seed),
+             "permute": jax.random.PRNGKey(seed + 100)}
+        states, _ = enc.apply(params, usr, usr_mask, vid, vid_mask,
+                              deterministic=deterministic, rngs=rngs)
+        return np.asarray(states[-1])
+
+    # eval path is deterministic and repeatable
+    np.testing.assert_array_equal(run(True, 0), run(True, 1))
+    # train path: different permute keys -> different outputs
+    a, b = run(False, 0), run(False, 1)
+    assert not np.allclose(a, b)
