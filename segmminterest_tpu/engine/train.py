@@ -418,6 +418,15 @@ def run_training(config: InterestConfig, reader: SeqReader,
             rm = batch["row_mask"]
             interests = np.asarray(interests)[rm]
             gt = batch["label"][rm]
+            if cfg.draw_case and local_step == 0:
+                # case-study heatmaps for the first rows of the first test
+                # batch (my_evaluation.py:233-262 via --draw_case)
+                from .evaluation import draw_hotmap
+                fig_dir = osp.join(work_dir, "figure")
+                for r in range(min(cfg.draw_case, len(gt))):
+                    draw_hotmap(interests[r], np.clip(gt[r], 0, 1),
+                                f"{batch['user_raw'][rm][r]}-"
+                                f"{batch['video_raw'][rm][r]}", fig_dir)
             if saved_logits is not None:
                 saved_logits.append(np.concatenate(
                     [interests, gt,

@@ -86,6 +86,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--record_train_detail", type=int, default=0)
     p.add_argument("--count_view_completion", type=int, default=0)
     p.add_argument("--plot_curves", type=int, default=0)
+    p.add_argument("--draw_case", type=int, default=0,
+                   help="save N case-study interest/gt heatmaps at test")
     p.add_argument("--debug", type=int, default=0)
     p.add_argument("--compute_dtype", type=str, default=d.compute_dtype,
                    choices=["float32", "bfloat16"])
@@ -129,6 +131,7 @@ def config_from_args(args: argparse.Namespace) -> InterestConfig:
         record_train_detail=bool(args.record_train_detail),
         count_view_completion=bool(args.count_view_completion),
         plot_curves=bool(args.plot_curves),
+        draw_case=args.draw_case,
         compute_dtype=args.compute_dtype, remat=bool(args.remat),
         fused_attention=bool(args.fused_attention),
         fuse_projections=bool(args.fuse_projections))

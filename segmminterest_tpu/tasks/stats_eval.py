@@ -53,6 +53,11 @@ def evaluate_test_type(test_type, stats, reader, args, exposure_prob,
         # scores are already probabilities; the reference multiplies exposure
         # and feeds them as "interests" (reference :283-285,299)
         interests = scores * exposure_prob[None, :]
+        if args.draw_case and step == 0:
+            from ..engine.evaluation import draw_hotmap
+            for r in range(min(args.draw_case, len(gt))):
+                draw_hotmap(interests[r], np.clip(gt[r], 0, 1),
+                            f"{test_type}-{uids[r]}-{pids[r]}", "figure")
         main_eval_batch(interests, gt, results,
                         top_k_mask=args.TOP_K_mask,
                         top_k_permutation=args.TOP_K_permutation,
@@ -93,6 +98,8 @@ def main(argv=None):
     p.add_argument("--TOP_K_permutation", type=int, default=1)
     p.add_argument("--TOP_K_mask", type=int, default=0)
     p.add_argument("--eval_cold", type=str, default="", choices=["", "test"])
+    p.add_argument("--draw_case", type=int, default=0,
+                   help="save N case-study heatmaps for each test type")
     p.add_argument("--exposure_prob_type", type=str, default="ones")
     p.add_argument("--exposure_prob_path", type=str,
                    default="SegMM_ExposureProb.json")

@@ -77,6 +77,7 @@ class InterestConfig:
     record_train_detail: bool = False
     count_view_completion: bool = False
     plot_curves: bool = False        # save train/valid loss curves (png)
+    draw_case: int = 0               # N case-study heatmaps from test batch 0
     debug: bool = False
     compute_dtype: str = "float32"   # float32 | bfloat16
     remat: bool = True               # rematerialize encoder layers on backward
