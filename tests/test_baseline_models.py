@@ -145,3 +145,54 @@ def test_mmrec_end_to_end(rng):
     # every sampled video appears in training, so cold may be empty
     assert "cold_test" in result and "hot_test" in result
     assert 0 <= result["hot_test"]["hr@5"] <= 1
+
+
+@pytest.mark.parametrize("mask", [True, False])
+def test_interest_topk_matches_fork(rng, mask):
+    """interest_topk vs a transliteration of the MMRec fork's
+    interest_TopK_{mask,nonmask} (topk_evaluator.py:77-151); tie-free
+    interests so the tie-break RNG streams cancel."""
+    from segmminterest_tpu.mmrec.runner import interest_topk
+    bsz, seq_len = 60, 40
+    interests = rng.permutation(bsz * seq_len).astype(np.float64) \
+        .reshape(bsz, seq_len) / (bsz * seq_len)
+    durations = rng.integers(2, seq_len + 1, size=bsz)
+    view_lengths = np.array([rng.integers(0, d) for d in durations])
+    # some completed views (vl == dur, excluded by mask variant)
+    view_lengths[:7] = durations[:7]
+
+    def oracle():
+        it = interests.copy()
+        vl = view_lengths.astype(np.int64).flatten()
+        if mask:
+            valid = vl != durations
+            n = int(valid.sum())
+            vl, dur = vl[valid], durations[valid]
+            x = it[valid]
+            m = np.arange(seq_len) < np.broadcast_to(dur[:, None],
+                                                     (n, seq_len))
+            x = np.where(m, x, float("inf"))
+        else:
+            valid = vl < 40
+            n = int(valid.sum())
+            vl = vl[valid]
+            x = it[valid]
+        permuted = np.array([np.random.permutation(seq_len)
+                             for _ in range(n)])
+        preds = np.array([x[i, permuted[i]] for i in range(n)])
+        sorted_idx = np.argsort(preds, axis=1)
+        target = np.argwhere(permuted == vl[:, None])[:, 1]
+        gt_rank = np.argmax(sorted_idx == target[:, None], axis=1) + 1
+        out = {}
+        for k in (1, 3, 5, 10):
+            hit = (gt_rank <= k).astype(np.float32)
+            out[f"hr@{k}"] = hit.mean()
+            out[f"ndcg@{k}"] = (hit / np.log2(gt_rank + 1)).mean()
+        return out
+
+    want = oracle()
+    got = interest_topk(interests, view_lengths, durations, mask,
+                        rng=np.random.default_rng(3))
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-6,
+                                   err_msg=f"mask={mask}:{k}")
