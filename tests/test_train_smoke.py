@@ -109,3 +109,25 @@ def test_kuairand_dialect_end_to_end(tmp_path, rng):
         ckpt_dir=str(tmp_path / "ck"), debug=True)
     result = run_training(cfg, reader)
     assert np.isfinite(result["test_metrics"]["HR@5"])
+
+
+def test_introspection_flags_write_artifacts(tmp_path, sample_reader):
+    """--record_train_detail / --count_view_completion / --plot_curves /
+    --draw_case artifacts (main_…SegMM.py:241-254,314-327,462-470)."""
+    cfg = InterestConfig(
+        sample_csv=SAMPLE, d_model=32, nhead=4, num_layers_enc=2,
+        user_input_type="id", photo_input_type="id", fusion_heads=2,
+        train_batch_size=128, valid_batch_size=128, test_batch_size=128,
+        epochs=1, valid_step=2, early_stop=0, loss_type="interestBPR",
+        exposure_prob=[1.0] * 40, ckpt_dir=str(tmp_path), debug=True,
+        record_train_detail=True, count_view_completion=True,
+        plot_curves=True, draw_case=2)
+    result = run_training(cfg, sample_reader)
+    wd = result["work_dir"]
+    files = set(os.listdir(wd))
+    assert "record_logit_gt.npy" in files
+    assert "valid_loss_metrics.json" in files
+    assert "train_loss.png" in files and "valid_loss.png" in files
+    assert "view_completion" in result
+    figs = os.listdir(os.path.join(wd, "figure"))
+    assert len(figs) == 2 and all(f.endswith(".png") for f in figs)
