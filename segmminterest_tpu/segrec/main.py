@@ -62,6 +62,10 @@ def build_parser():
     p.add_argument("--adjust_interest_weight", type=int, default=0)
     p.add_argument("--duration_mask", type=int, default=0)
     p.add_argument("--norm_interest_type", type=str, default="none")
+    p.add_argument("--contrastive", type=str, default="",
+                   choices=["", "ContrastiveLoss", "infoNCELoss"],
+                   help="ClipRec feats-vs-id alignment aux loss")
+    p.add_argument("--auxillary_loss_weight", type=float, default=0.0)
     # segment integration inputs
     p.add_argument("--clip_weight_path", type=str, default="")
     p.add_argument("--eval_neg_weight_path", type=str, default="")
@@ -159,7 +163,8 @@ def build_model(args, corpus, use_frames):
     if name == "SDIM":
         return cls(dnn_layers=dnn_layers, **seq_kwargs)
     if name in ("ClipRec", "ClipWDRec"):
-        return cls(emb_dim=args.emb_size, dnn_layers=dnn_layers, **clip_kwargs)
+        return cls(emb_dim=args.emb_size, dnn_layers=dnn_layers,
+                   contrastive=args.contrastive, **clip_kwargs)
     if name == "ClipDINRec":
         return cls(has_duration="i_duration" in corpus.item_feature_names,
                    emb_size=args.emb_size, att_layers=att_layers,
@@ -233,6 +238,7 @@ def main(argv=None):
         metrics=tuple(m.strip().upper() for m in metrics.split(",")),
         main_metric=args.main_metric,
         loss_n=args.loss_n or ("BCE" if task == "ctr" else "BPR"),
+        auxillary_loss_weight=args.auxillary_loss_weight,
         seed=args.random_seed)
     mesh = None
     if args.use_mesh:

@@ -57,6 +57,14 @@ class ClipWDModel(nn.Module, ClipScoreMixin):
     duration_mask: bool = False
     frame_feature_dim: int = 1024
     use_frames: bool = False   # True when a feature table is wired in
+    # auxiliary feats-vs-id alignment (ClipRec.py:183-196,237-271):
+    # "ContrastiveLoss" = pair-margin on per-clip embeddings,
+    # "infoNCELoss" = item-level InfoNCE over [embed || value] rows.
+    # The sowed value is weighted by the runner's auxillary_loss_weight
+    # (BaseRunner.py:210-214).
+    contrastive: str = ""
+    contrastive_margin: float = 1.0
+    infonce_tau: float = 0.1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -127,4 +135,35 @@ class ClipWDModel(nn.Module, ClipScoreMixin):
         if self.adjust_interest_weight:
             trainable = self.param("trainable_interest_weight",
                                    nn.initializers.ones, (C,))
+
+        if self.contrastive and self.use_frames:
+            if self.contrastive == "ContrastiveLoss":
+                # all-positive pair-margin loss: labels are ones, so only
+                # the 0.5*mean(||e1-e2||^2) term survives (ClipRec.py:238-247)
+                diff = (frame_feats_embed - frame_id_embed).reshape(-1, d)
+                aux = 0.5 * (diff ** 2).sum(-1).mean()
+            elif self.contrastive == "infoNCELoss":
+                # item-level InfoNCE over [embed || value] rows
+                # (ClipRec.py:249-271)
+                e = jnp.concatenate(
+                    [frame_feats_embed.reshape(B * I, C * d),
+                     frame_feats_value.reshape(B * I, C)], axis=1)
+                g = jnp.concatenate(
+                    [frame_id_embed.reshape(B * I, C * d),
+                     frame_id_value.reshape(B * I, C)], axis=1)
+                e = e / jnp.maximum(
+                    jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-12)
+                g = g / jnp.maximum(
+                    jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
+                logits = (e @ g.T) / self.infonce_tau
+                n = logits.shape[0]
+                eye = jnp.eye(n, dtype=logits.dtype)
+                exp = jnp.exp(logits)
+                pos = (exp * eye).sum(1)
+                neg = (exp * (1 - eye)).sum(1)
+                aux = (-jnp.log(pos / (pos + neg))).mean()
+            else:
+                raise ValueError(f"unknown contrastive {self.contrastive!r}")
+            self.sow("losses", "contrastive_loss", aux)
+
         return self.integrate_clips(clip_predictions, feed, trainable)

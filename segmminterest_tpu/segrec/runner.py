@@ -290,13 +290,17 @@ class RankingRunner:
             if has_bn:
                 variables["batch_stats"] = state["batch_stats"]
             rngs = {"dropout": rng, "gumbel": jax.random.fold_in(rng, 7)}
-            if has_bn:
-                out, mutated = self._apply(variables, batch, False, rngs,
-                                           mutable=["batch_stats"])
-            else:
-                out = self._apply(variables, batch, False, rngs)
-                mutated = {}
-            return self._loss(out, batch, params), mutated
+            mutable = ["losses"] + (["batch_stats"] if has_bn else [])
+            out, mutated = self._apply(variables, batch, False, rngs,
+                                       mutable=mutable)
+            loss = self._loss(out, batch, params)
+            sown = mutated.get("losses", {})
+            if self.cfg.auxillary_loss_weight > 0 and sown:
+                # loss += weight * model.contrastive_loss
+                # (BaseRunner.py:210-214)
+                for v in jax.tree_util.tree_leaves(sown):
+                    loss = loss + self.cfg.auxillary_loss_weight * v
+            return loss, mutated
 
         (loss, mutated), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state["params"])

@@ -159,3 +159,83 @@ def test_ranking_end_to_end(segrec_data):
                           "SegMM", "--epoch", "1", "--batch_size", "256",
                           "--emb_size", "16", "--topk", "3,5"])
     assert 0.0 <= result["test"]["HR@3"] <= 1.0
+
+
+@pytest.mark.parametrize("kind", ["ContrastiveLoss", "infoNCELoss"])
+def test_cliprec_contrastive_matches_torch(rng, kind):
+    """ClipRec aux alignment losses vs fp64 torch transliterations of
+    ClipRec.py:238-271; sown into the 'losses' collection and weighted by
+    the runner (BaseRunner.py:210-214)."""
+    import torch
+    import torch.nn.functional as F
+    model = build_model("ClipWDRec", MODEL_REGISTRY["ClipWDRec"], True)
+    model = model.clone(contrastive=kind)
+    feed = synthetic_feed(rng, with_frames=True)
+    feed = {k: jnp.asarray(v) for k, v in feed.items()}
+    table = jnp.asarray(rng.normal(size=(50, 1024)), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, feed,
+                           feat_table=table, deterministic=True)
+    variables = {"params": variables["params"]}
+    out, mutated = model.apply(variables, feed, feat_table=table,
+                               deterministic=True, mutable=["losses"])
+    (aux,) = jax.tree_util.tree_leaves(mutated["losses"])
+
+    # torch oracle over the raw streams, recomputed from params directly
+    p = variables["params"]
+    lines = np.asarray(feed["item_frame_lines"])
+    frames = np.asarray(table)[np.clip(lines, 0, None)]
+    frames = frames * (lines >= 0)[..., None]
+    d = model.emb_dim
+    B, I, C = lines.shape
+
+    def np_dense(name, x):
+        k = np.asarray(p[name]["kernel"], np.float64)
+        b = np.asarray(p[name]["bias"], np.float64)
+        return x @ k + b
+
+    feats_embed = np.maximum(np_dense("frame_embedding",
+                                      frames.astype(np.float64)), 0)
+    feats_value = np.maximum(np_dense("frame_linear",
+                                      frames.astype(np.float64)), 0)
+    item_ids = np.asarray(feed["item_id"], np.int64)
+    item_emb = np.asarray(p["item_embedding"]["embedding"],
+                          np.float64)[item_ids]
+    item_emb = np.repeat(item_emb[:, :, None, :], C, axis=2)
+    pos = np.broadcast_to(np.arange(C, dtype=np.float64)[None, None, :, None],
+                          (B, I, C, 1))
+    pos_emb = np_dense("frame_position_embedding", pos)
+    id_embed = np_dense("frame_id_projector",
+                        np.concatenate([item_emb, pos_emb], -1))
+    item_val = np.asarray(p["item_linear"]["embedding"],
+                          np.float64)[item_ids]
+    item_val = np.repeat(item_val[:, :, None, :], C, axis=2)
+    pos_val = np_dense("frame_position_linear", pos)
+    id_value = np_dense("frame_id_projector_linear",
+                        np.concatenate([item_val, pos_val], -1))
+
+    if kind == "ContrastiveLoss":
+        e1 = torch.tensor(feats_embed.reshape(-1, d))
+        e2 = torch.tensor(id_embed.reshape(-1, d))
+        dist = (e1 - e2).pow(2).sum(1)
+        want = (0.5 * dist).mean().item()
+    else:
+        e = torch.tensor(np.concatenate(
+            [feats_embed.reshape(B * I, C * d),
+             feats_value.reshape(B * I, C)], 1))
+        g = torch.tensor(np.concatenate(
+            [id_embed.reshape(B * I, C * d),
+             id_value.reshape(B * I, C)], 1))
+        e = F.normalize(e, dim=-1)
+        g = F.normalize(g, dim=-1)
+        dots = torch.mm(e, g.T) / 0.1
+        mask = torch.eye(e.shape[0], dtype=torch.float64)
+        pos_s = (torch.exp(dots) * mask).sum(1)
+        neg_s = (torch.exp(dots) * (1 - mask)).sum(1)
+        want = (-torch.log(pos_s / (pos_s + neg_s))).mean().item()
+    np.testing.assert_allclose(float(aux), want, rtol=2e-4)
+
+    # without the flag, nothing is sown
+    plain = build_model("ClipWDRec", MODEL_REGISTRY["ClipWDRec"], True)
+    _, mut2 = plain.apply(variables, feed, feat_table=table,
+                          deterministic=True, mutable=["losses"])
+    assert not mut2.get("losses")
