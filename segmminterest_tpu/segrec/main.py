@@ -62,6 +62,14 @@ def build_parser():
     p.add_argument("--adjust_interest_weight", type=int, default=0)
     p.add_argument("--duration_mask", type=int, default=0)
     p.add_argument("--norm_interest_type", type=str, default="none")
+    # DCNv2 family (DCNv2.py / ClipDCNv2Rec.py argparse)
+    p.add_argument("--cross_layer_num", type=int, default=6)
+    p.add_argument("--mixed", type=int, default=1)
+    p.add_argument("--structure", type=str, default="parallel",
+                   choices=["parallel", "stacked"])
+    p.add_argument("--low_rank", type=int, default=64)
+    p.add_argument("--expert_num", type=int, default=2)
+    p.add_argument("--reg_weight", type=float, default=2.0)
     p.add_argument("--contrastive", type=str, default="",
                    choices=["", "ContrastiveLoss", "infoNCELoss"],
                    help="ClipRec feats-vs-id alignment aux loss")
@@ -141,9 +149,17 @@ def build_model(args, corpus, use_frames):
     if name == "WideDeep":
         return cls(feature_names, corpus.feature_max, emb_size=args.emb_size,
                    layers=layers, dropout=args.dropout)
-    if name in ("DCN", "DCNv2"):
+    if name == "DCN":
         return cls(feature_names, corpus.feature_max, emb_size=args.emb_size,
-                   layers=layers, dropout=args.dropout)
+                   layers=layers, dropout=args.dropout,
+                   cross_layer_num=args.cross_layer_num)
+    if name == "DCNv2":
+        return cls(feature_names, corpus.feature_max, emb_size=args.emb_size,
+                   layers=layers, dropout=args.dropout,
+                   cross_layer_num=args.cross_layer_num,
+                   mixed=bool(args.mixed), structure=args.structure,
+                   low_rank=args.low_rank, expert_num=args.expert_num,
+                   reg_weight=args.reg_weight)
     if name == "AutoInt":
         return cls(feature_names, corpus.feature_max, emb_size=args.emb_size,
                    layers=layers, dropout=args.dropout)
@@ -171,7 +187,11 @@ def build_model(args, corpus, use_frames):
                    dnn_layers=dnn_layers,
                    norm_interest_type=args.norm_interest_type, **clip_kwargs)
     if name == "ClipDCNv2Rec":
-        return cls(emb_size=args.emb_size, layers=layers, **clip_kwargs)
+        return cls(emb_size=args.emb_size, layers=layers,
+                   cross_layer_num=args.cross_layer_num,
+                   mixed=bool(args.mixed), structure=args.structure,
+                   low_rank=args.low_rank, expert_num=args.expert_num,
+                   reg_weight=args.reg_weight, **clip_kwargs)
     if name == "ClipAutoIntRec":
         return cls(emb_size=args.emb_size, layers=layers, **clip_kwargs)
     if name == "ClipFinalMLPRec":

@@ -75,10 +75,14 @@ class ClipDCNv2Model(nn.Module, ClipScoreMixin):
     emb_size: int = 64
     layers: Sequence[int] = (64,)
     cross_layer_num: int = 6
-    mixed: bool = False
+    # reference default is the mixed low-rank expert cross
+    # (ClipDCNv2Rec.py:31,125-169); the full-matrix variant adds
+    # reg_weight * sum||W||_2 (:298-303), sown as 'reg_loss'
+    mixed: bool = True
     structure: str = "parallel"
     expert_num: int = 2
     low_rank: int = 64
+    reg_weight: float = 2.0
     dropout: float = 0.0
     adjust_interest_weight: bool = False
     duration_mask: bool = False
@@ -93,11 +97,39 @@ class ClipDCNv2Model(nn.Module, ClipScoreMixin):
         x0 = jnp.concatenate([user_exp, frame_concat], -1)  # (B, I, C, p)
         pre = x0.shape[-1]
         xl = x0
-        for l in range(self.cross_layer_num):
-            W = self.param(f"cross_w2_{l}", RANDN, (pre, pre))
-            bias = self.param(f"cross_bias_{l}", nn.initializers.zeros,
-                              (pre,))
-            xl = x0 * (jnp.einsum("pq,bicq->bicp", W, xl) + bias) + xl
+        if self.mixed:
+            gates = [dense(1, f"gating_{e}", dtype=self.dtype)
+                     for e in range(self.expert_num)]
+            for l in range(self.cross_layer_num):
+                U = self.param(f"cross_u_{l}", RANDN,
+                               (self.expert_num, pre, self.low_rank))
+                V = self.param(f"cross_v_{l}", RANDN,
+                               (self.expert_num, pre, self.low_rank))
+                Cm = self.param(f"cross_c_{l}", RANDN,
+                                (self.expert_num, self.low_rank,
+                                 self.low_rank))
+                bias = self.param(f"cross_bias_{l}",
+                                  nn.initializers.zeros, (pre,))
+                expert_outs, gate_scores = [], []
+                for e in range(self.expert_num):
+                    gate_scores.append(gates[e](xl))        # (B, I, C, 1)
+                    v = jnp.tanh(jnp.einsum("bicp,pr->bicr", xl, V[e]))
+                    c = jnp.tanh(jnp.einsum("bicr,rs->bics", v, Cm[e]))
+                    u = jnp.einsum("bics,ps->bicp", c, U[e]) + bias
+                    expert_outs.append(x0 * u)
+                experts = jnp.stack(expert_outs, -1)        # (B, I, C, p, E)
+                gate = jax.nn.softmax(
+                    jnp.concatenate(gate_scores, -1), axis=-1)
+                xl = jnp.einsum("bicpe,bice->bicp", experts, gate) + xl
+        else:
+            reg = 0.0
+            for l in range(self.cross_layer_num):
+                W = self.param(f"cross_w2_{l}", RANDN, (pre, pre))
+                bias = self.param(f"cross_bias_{l}", nn.initializers.zeros,
+                                  (pre,))
+                xl = x0 * (jnp.einsum("pq,bicq->bicp", W, xl) + bias) + xl
+                reg = reg + jnp.sqrt((W.astype(jnp.float32) ** 2).sum())
+            self.sow("losses", "reg_loss", self.reg_weight * reg)
         deep_in = x0 if self.structure == "parallel" else xl
         deep = MLPBlock(self.layers, dropout=self.dropout, dtype=self.dtype,
                         name="deep_layers")(deep_in,

@@ -62,6 +62,9 @@ class DCNv2Model(nn.Module):
     structure: str = "parallel"   # parallel | stacked
     expert_num: int = 2
     low_rank: int = 64
+    # L2 (sum of 2-norms) on the full-matrix cross weights, only in the
+    # non-mixed variant (DCNv2.py:190-196); sown pre-weighted as 'reg_loss'
+    reg_weight: float = 2.0
     dropout: float = 0.0
     dtype: Any = jnp.float32
 
@@ -103,11 +106,14 @@ class DCNv2Model(nn.Module):
                 xl = jnp.einsum("bipe,bie->bip", experts, gate) + xl
         else:
             xl = x0
+            reg = 0.0
             for l in range(self.cross_layer_num):
                 W = self.param(f"cross_w2_{l}", RANDN, (pre, pre))
                 bias = self.param(f"cross_bias_{l}",
                                   nn.initializers.zeros, (pre,))
                 xl = x0 * (jnp.einsum("pq,biq->bip", W, xl) + bias) + xl
+                reg = reg + jnp.sqrt((W.astype(jnp.float32) ** 2).sum())
+            self.sow("losses", "reg_loss", self.reg_weight * reg)
 
         deep_in = x0 if self.structure == "parallel" else xl
         deep = MLPBlock(self.layers, dropout=self.dropout, dtype=self.dtype,

@@ -295,11 +295,15 @@ class RankingRunner:
                                        mutable=mutable)
             loss = self._loss(out, batch, params)
             sown = mutated.get("losses", {})
-            if self.cfg.auxillary_loss_weight > 0 and sown:
-                # loss += weight * model.contrastive_loss
-                # (BaseRunner.py:210-214)
-                for v in jax.tree_util.tree_leaves(sown):
-                    loss = loss + self.cfg.auxillary_loss_weight * v
+            if sown:
+                # contrastive is weighted by the runner
+                # (BaseRunner.py:210-214); other sown terms (e.g. DCNv2's
+                # reg_loss) arrive pre-weighted by the model
+                for path, v in jax.tree_util.tree_flatten_with_path(sown)[0]:
+                    w = (self.cfg.auxillary_loss_weight
+                         if "contrastive" in jax.tree_util.keystr(path)
+                         else 1.0)
+                    loss = loss + w * v
             return loss, mutated
 
         (loss, mutated), grads = jax.value_and_grad(
