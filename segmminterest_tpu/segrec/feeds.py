@@ -75,6 +75,7 @@ class FeedBuilder:
     def __init__(self, corpus: Corpus, phase: str, task: str = "ranking",
                  num_neg: int = 1, history_max: int = 20,
                  include_history: bool = False,
+                 neg_history: bool = False,
                  clip_weights: Optional[ClipWeights] = None,
                  feature_store=None, seed: int = 0):
         self.corpus = corpus
@@ -83,6 +84,8 @@ class FeedBuilder:
         self.num_neg = num_neg
         self.history_max = history_max
         self.include_history = include_history
+        self.neg_history = neg_history
+        self.hist_neg = None
         self.clip_weights = clip_weights
         self.store = feature_store
         self.rng = np.random.default_rng(seed)
@@ -130,7 +133,19 @@ class FeedBuilder:
     # ------------------------------------------------------------------
     def actions_before_epoch(self):
         """Per-epoch negative sampling with clicked-set rejection
-        (GeneralModel.Dataset.actions_before_epoch, BaseModel.py:292-300)."""
+        (GeneralModel.Dataset.actions_before_epoch, BaseModel.py:292-300);
+        with ``neg_history``, also one uniform negative per history position
+        excluding the positive there (DIEN.py:206-216)."""
+        if self.neg_history and self.include_history \
+                and self.phase == "train":
+            neg_h = self.rng.integers(1, self.corpus.n_items,
+                                      size=self.hist_items.shape)
+            clash = neg_h == self.hist_items
+            while clash.any():
+                neg_h[clash] = self.rng.integers(1, self.corpus.n_items,
+                                                 size=int(clash.sum()))
+                clash = neg_h == self.hist_items
+            self.hist_neg = neg_h
         if self.task != "ranking" or self.phase != "train":
             return
         n = len(self)
@@ -212,6 +227,11 @@ class FeedBuilder:
             for f in corpus.item_feature_names:
                 feed["history_" + f] = pad(
                     corpus.item_features_arr[f][self.hist_items[idx]])
+            if self.hist_neg is not None:
+                feed["history_neg_item_id"] = pad(self.hist_neg[idx])
+                for f in corpus.item_feature_names:
+                    feed["history_neg_" + f] = pad(
+                        corpus.item_features_arr[f][self.hist_neg[idx]])
         if self.store is not None and "i_duration" in corpus.item_feature_names:
             # per-candidate segment line ids for device-side feature gather
             dur = corpus.item_features_arr["i_duration"][items].astype(np.int64)

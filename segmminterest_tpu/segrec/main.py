@@ -70,6 +70,31 @@ def build_parser():
     p.add_argument("--low_rank", type=int, default=64)
     p.add_argument("--expert_num", type=int, default=2)
     p.add_argument("--reg_weight", type=float, default=2.0)
+    # AutoInt (AutoInt.py argparse)
+    p.add_argument("--num_heads", type=int, default=1)
+    p.add_argument("--num_layers", type=int, default=1)
+    p.add_argument("--attention_size", type=int, default=32)
+    # DIEN / CAN (DIEN.py / CAN.py argparse)
+    p.add_argument("--alpha_aux", type=float, default=0.0)
+    p.add_argument("--aux_hidden_layers", type=str, default="[64]")
+    p.add_argument("--evolving_gru_type", type=str, default="AGRU")
+    p.add_argument("--co_action_layers", type=str, default="[4,4]")
+    p.add_argument("--induce_vec_size", type=int, default=512)
+    p.add_argument("--orders", type=int, default=1)
+    # FinalMLP feature selection (FinalMLP.py argparse)
+    p.add_argument("--use_fs", type=int, default=1)
+    p.add_argument("--fs_hidden_units", type=str, default="[64]")
+    p.add_argument("--fs1_context", type=str, default="")
+    p.add_argument("--fs2_context", type=str, default="")
+    # AdaGIN (AdaGIN.py argparse)
+    p.add_argument("--warm_dim", type=int, default=64)
+    p.add_argument("--cold_dim", type=int, default=64)
+    p.add_argument("--warm_tau", type=float, default=1.0)
+    p.add_argument("--cold_tau", type=float, default=0.01)
+    p.add_argument("--num_gnn_layers", type=int, default=3)
+    p.add_argument("--only_use_last_layer", type=int, default=1)
+    p.add_argument("--fi_hidden_units", type=str, default="[64,64]")
+    p.add_argument("--w_hidden_units", type=str, default="[64,64]")
     p.add_argument("--contrastive", type=str, default="",
                    choices=["", "ContrastiveLoss", "infoNCELoss"],
                    help="ClipRec feats-vs-id alignment aux loss")
@@ -162,20 +187,38 @@ def build_model(args, corpus, use_frames):
                    reg_weight=args.reg_weight)
     if name == "AutoInt":
         return cls(feature_names, corpus.feature_max, emb_size=args.emb_size,
-                   layers=layers, dropout=args.dropout)
+                   layers=layers, dropout=args.dropout,
+                   attention_size=args.attention_size,
+                   num_heads=args.num_heads, num_layers=args.num_layers)
     if name == "FinalMLP":
+        ctx = lambda v: tuple(t for t in v.split(",") if t)
         return cls(feature_names, corpus.feature_max, emb_size=args.emb_size,
                    mlp1_hidden_units=layers, mlp2_hidden_units=layers,
-                   dropout=args.dropout)
+                   dropout=args.dropout, use_fs=bool(args.use_fs),
+                   fs_hidden_units=tuple(json.loads(args.fs_hidden_units)),
+                   fs1_context=ctx(args.fs1_context),
+                   fs2_context=ctx(args.fs2_context),
+                   num_heads=args.num_heads)
     if name == "AdaGIN":
         return cls(feature_names, corpus.feature_max, emb_size=args.emb_size,
-                   dropout=args.dropout)
+                   dropout=args.dropout, warm_dim=args.warm_dim,
+                   cold_dim=args.cold_dim, warm_tau=args.warm_tau,
+                   cold_tau=args.cold_tau,
+                   num_gnn_layers=args.num_gnn_layers,
+                   only_use_last_layer=bool(args.only_use_last_layer),
+                   fi_hidden_units=tuple(json.loads(args.fi_hidden_units)),
+                   w_hidden_units=tuple(json.loads(args.w_hidden_units)))
     if name == "DIN":
         return cls(att_layers=att_layers, dnn_layers=dnn_layers, **seq_kwargs)
     if name == "DIEN":
-        return cls(fcn_hidden_layers=layers, **seq_kwargs)
+        return cls(fcn_hidden_layers=layers, alpha_aux=args.alpha_aux,
+                   aux_hidden_layers=tuple(json.loads(args.aux_hidden_layers)),
+                   evolving_gru_type=args.evolving_gru_type, **seq_kwargs)
     if name == "CAN":
-        return cls(fcn_hidden_layers=layers, **seq_kwargs)
+        return cls(fcn_hidden_layers=layers, orders=args.orders,
+                   induce_vec_size=args.induce_vec_size,
+                   co_action_layers=tuple(json.loads(args.co_action_layers)),
+                   **seq_kwargs)
     if name == "SDIM":
         return cls(dnn_layers=dnn_layers, **seq_kwargs)
     if name in ("ClipRec", "ClipWDRec"):
@@ -242,6 +285,7 @@ def main(argv=None):
         builders[phase] = FeedBuilder(
             corpus, phase, task=task, num_neg=args.num_neg,
             history_max=args.history_max, include_history=include_history,
+            neg_history=(args.alpha_aux > 0 and include_history),
             clip_weights=clip_weights, feature_store=store,
             seed=args.random_seed)
 

@@ -168,7 +168,15 @@ class CANModel(DIENModel):
                   h_out]
         dien_inp = jnp.concatenate(parts, -1)
         all_coaction = jnp.concatenate([ui, hi, dien_inp], -1)
-        return MLPBlock(self.fcn_hidden_layers, output_dim=1,
-                        dropout=self.dropout, dtype=self.dtype,
-                        name="fcn_net")(
+        predictions = MLPBlock(self.fcn_hidden_layers, output_dim=1,
+                               dropout=self.dropout, dtype=self.dtype,
+                               name="fcn_net")(
             all_coaction, deterministic=deterministic)[..., 0]
+        if self.alpha_aux > 0 and (not deterministic
+                                   or self.is_initializing()):
+            # same auxiliary next-item BCE as DIEN (CAN inherits it,
+            # CAN.py:100-104), sown pre-weighted
+            aux = self._aux_loss(feed, ed, interest_emb.reshape(
+                B, I, L, gsz)[:, 0], history_emb, hislens, deterministic)
+            self.sow("losses", "aux_loss", self.alpha_aux * aux)
+        return predictions

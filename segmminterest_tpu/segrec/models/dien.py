@@ -186,10 +186,16 @@ class DIENModel(nn.Module):
                                name="fcn_net")(
             inp, deterministic=deterministic)[..., 0]
 
-        if return_aux and self.alpha_aux > 0:
+        if self.alpha_aux > 0 and (return_aux or not deterministic
+                                   or self.is_initializing()):
+            # auxiliary next-item BCE added to the training loss with weight
+            # alpha_aux (DIEN.py:143,174-192); sown pre-weighted so the
+            # runner adds it as-is
             aux = self._aux_loss(feed, ed, interest_emb.reshape(
                 B, I, L, gsz)[:, 0], history_emb, hislens, deterministic)
-            return predictions, aux
+            if return_aux:
+                return predictions, aux
+            self.sow("losses", "aux_loss", self.alpha_aux * aux)
         return predictions
 
     def _aux_loss(self, feed, ed, interest_emb, pos_emb, lengths,
