@@ -76,6 +76,7 @@ class FeedBuilder:
                  num_neg: int = 1, history_max: int = 20,
                  include_history: bool = False,
                  neg_history: bool = False,
+                 test_all: bool = False,
                  clip_weights: Optional[ClipWeights] = None,
                  feature_store=None, seed: int = 0):
         self.corpus = corpus
@@ -85,6 +86,7 @@ class FeedBuilder:
         self.history_max = history_max
         self.include_history = include_history
         self.neg_history = neg_history
+        self.test_all = test_all
         self.hist_neg = None
         self.clip_weights = clip_weights
         self.store = feature_store
@@ -166,6 +168,15 @@ class FeedBuilder:
                 "call actions_before_epoch() before iterating the train split"
             return np.concatenate(
                 [self.item_id[idx][:, None], self.neg_items_epoch[idx]], axis=1)
+        if self.test_all:
+            # full-sort eval: [target] + every item id
+            # (BaseModel.py:231-235; clicked items are masked -inf by the
+            # runner, BaseRunner.py:254-261)
+            all_items = np.arange(1, self.corpus.n_items, dtype=np.int64)
+            return np.concatenate(
+                [self.item_id[idx][:, None],
+                 np.broadcast_to(all_items, (len(idx), len(all_items)))],
+                axis=1)
         assert self._neg_eval is not None, \
             f"{self.phase}.csv has no neg_items column (needed for ranking)"
         return np.concatenate(

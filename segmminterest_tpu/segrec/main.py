@@ -52,6 +52,9 @@ def build_parser():
     p.add_argument("--main_metric", type=str, default="")
     p.add_argument("--loss_n", type=str, default="")
     p.add_argument("--num_neg", type=int, default=1)
+    p.add_argument("--test_all", type=int, default=0,
+                   help="full-sort ranking eval over all items with clicked "
+                        "items masked -inf (BaseModel.py:200,231-235)")
     p.add_argument("--history_max", type=int, default=20)
     p.add_argument("--dropout", type=float, default=0.0)
     # model
@@ -286,6 +289,8 @@ def main(argv=None):
             corpus, phase, task=task, num_neg=args.num_neg,
             history_max=args.history_max, include_history=include_history,
             neg_history=(args.alpha_aux > 0 and include_history),
+            test_all=bool(args.test_all) and phase != "train"
+            and task == "ranking",
             clip_weights=clip_weights, feature_store=store,
             seed=args.random_seed)
 

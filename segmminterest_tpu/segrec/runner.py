@@ -367,7 +367,16 @@ class RankingRunner:
         for feed in builder.batches(self.cfg.eval_batch_size, shuffle=False):
             out = np.asarray(self._jit_eval(state, _device_feed(feed), rng))
             preds.append(out[feed["row_mask"]])
-        return np.concatenate(preds, axis=0)
+        predictions = np.concatenate(preds, axis=0)
+        if getattr(builder, "test_all", False):
+            # column j >= 1 scores item id j; already-clicked items are
+            # pushed out of the ranking (BaseRunner.py:254-261)
+            corpus = builder.corpus
+            for i, u in enumerate(builder.user_id):
+                clicked = (corpus.train_clicked_set.get(u, set())
+                           | corpus.residual_clicked_set.get(u, set()))
+                predictions[i, list(clicked)] = -np.inf
+        return predictions
 
     def evaluate(self, builder: FeedBuilder, state, topk=None, metrics=None):
         predictions = self.predict(builder, state)

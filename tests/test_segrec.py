@@ -239,3 +239,29 @@ def test_cliprec_contrastive_matches_torch(rng, kind):
     _, mut2 = plain.apply(variables, feed, feat_table=table,
                           deterministic=True, mutable=["losses"])
     assert not mut2.get("losses")
+
+
+def test_test_all_full_sort(segrec_data):
+    """--test_all: candidates = [target] + all items, clicked masked -inf
+    (BaseModel.py:231-235, BaseRunner.py:254-261)."""
+    import numpy as np
+    from segmminterest_tpu.segrec.corpus import Corpus
+    from segmminterest_tpu.segrec.feeds import FeedBuilder
+    from segmminterest_tpu.segrec.runner import RankingRunner, RunnerConfig
+    corpus = Corpus(segrec_data, "SegMM")
+    b = FeedBuilder(corpus, "test", task="ranking", test_all=True)
+    model = MODEL_REGISTRY["BPRMF"](user_num=corpus.n_users,
+                                    item_num=corpus.n_items, emb_size=8)
+    r = RankingRunner(model, RunnerConfig(eval_batch_size=64))
+    state = r.init_state(next(b.batches(64, shuffle=False)))
+    preds = r.predict(b, state)
+    assert preds.shape == (len(b), corpus.n_items)
+    # each user's clicked items (train + residual) are -inf; the target's
+    # first-column score stays finite
+    u0 = b.user_id[0]
+    clicked = (corpus.train_clicked_set.get(u0, set())
+               | corpus.residual_clicked_set.get(u0, set()))
+    assert clicked and all(np.isneginf(preds[0, list(clicked)]))
+    assert np.isfinite(preds[0, 0])
+    res = r.evaluate(b, state)
+    assert 0 <= res["HR@5"] <= 1
