@@ -34,15 +34,21 @@ def test_build_interactions_segmm(tmp_path):
     assert all("_" in s for s in some)
 
 
-@pytest.mark.parametrize("method", ["wlr", "d2q", "tpm"])
+@pytest.mark.parametrize("method", ["wlr", "d2q", "tpm", "ours"])
 def test_watchtime_baselines(tmp_path, method):
     """A12-A14: the watch-time baseline trainers produce finite MAE/HR1
     (main_for_WatchTime_{WLR,D2Q,TPM}.py)."""
     from segmminterest_tpu.tasks.watchtime import main
+    extra = (["--d_model", "32", "--nhead", "4", "--num_layers_enc", "2",
+              "--user_input_type", "id", "--photo_input_type", "id",
+              "--valid_step", "2", "--early_stop", "0"]
+             if method == "ours" else [])
     result = main(["--sample_csv", SAMPLE, "--min_interactions", "30",
                    "--num_warmup", "10", "--method", method,
                    "--epochs", "1", "--debug", "1", "--batch_size", "256",
-                   "--ckpt_dir", str(tmp_path)])
+                   "--train_batch_size", "128", "--test_batch_size", "128",
+                   "--valid_batch_size", "128",
+                   "--ckpt_dir", str(tmp_path)] + extra)
     flat = json.loads(json.dumps(result, default=float))
     text = json.dumps(flat).lower()
     assert "mae" in text or "mse" in text, result
