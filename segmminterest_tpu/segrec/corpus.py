@@ -152,7 +152,9 @@ class Corpus:
         # merge would cross-join those)
         frames = []
         for key in ("train", "dev", "test"):
-            f = self.data_df[key][["user_id", "item_id", "time"]].copy()
+            cols = ["user_id", "item_id", "time"] \
+                + list(self.situation_feature_names)
+            f = self.data_df[key][cols].copy()
             f["__phase"] = key
             f["__row"] = np.arange(len(f))
             frames.append(f)
@@ -161,9 +163,15 @@ class Corpus:
         cat["position"] = cat.groupby("user_id").cumcount()
         self.user_his_items: Dict[int, np.ndarray] = {}
         self.user_his_times: Dict[int, np.ndarray] = {}
+        # per-position situation values for add_historical_situations
+        # (ContextSeqReader.py:18-42)
+        self.user_his_situs: Dict[str, Dict[int, np.ndarray]] = {
+            f: {} for f in self.situation_feature_names}
         for uid, g in cat.groupby("user_id"):
             self.user_his_items[int(uid)] = g["item_id"].to_numpy()
             self.user_his_times[int(uid)] = g["time"].to_numpy()
+            for f in self.situation_feature_names:
+                self.user_his_situs[f][int(uid)] = g[f].to_numpy()
         for key in ("train", "dev", "test"):
             pos = np.zeros(len(self.data_df[key]), np.int64)
             sel = cat[cat["__phase"] == key]

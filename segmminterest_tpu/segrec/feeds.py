@@ -123,11 +123,18 @@ class FeedBuilder:
             n = len(self.user_id)
             self.hist_items = np.zeros((n, hmax), np.int64)
             self.hist_len = np.zeros(n, np.int32)
+            self.hist_situs = {f: np.zeros((n, hmax), np.int64)
+                               for f in corpus.situation_feature_names}
             for r in range(n):
                 items, _ = corpus.history_slice(self.user_id[r],
                                                 self.position[r], hmax)
                 self.hist_items[r, :len(items)] = items
                 self.hist_len[r] = len(items)
+                pos = int(self.position[r])
+                lo = max(0, pos - hmax) if hmax > 0 else 0
+                for f in corpus.situation_feature_names:
+                    vals = corpus.user_his_situs[f][int(self.user_id[r])]
+                    self.hist_situs[f][r, :len(items)] = vals[lo:pos]
 
     def __len__(self) -> int:
         return len(self.user_id)
@@ -238,6 +245,10 @@ class FeedBuilder:
             for f in corpus.item_feature_names:
                 feed["history_" + f] = pad(
                     corpus.item_features_arr[f][self.hist_items[idx]])
+            # historical situation values (ContextSeqReader.py:18-42,
+            # used when the model sets add_historical_situations)
+            for f in corpus.situation_feature_names:
+                feed["history_" + f] = pad(self.hist_situs[f][idx])
             if self.hist_neg is not None:
                 feed["history_neg_item_id"] = pad(self.hist_neg[idx])
                 for f in corpus.item_feature_names:

@@ -81,6 +81,9 @@ def build_parser():
     p.add_argument("--alpha_aux", type=float, default=0.0)
     p.add_argument("--aux_hidden_layers", type=str, default="[64]")
     p.add_argument("--evolving_gru_type", type=str, default="AGRU")
+    p.add_argument("--add_historical_situations", type=int, default=0,
+                   help="append situation embeddings to history steps and "
+                        "candidates (DIN.py:132-141)")
     p.add_argument("--co_action_layers", type=str, default="[4,4]")
     p.add_argument("--induce_vec_size", type=int, default=512)
     p.add_argument("--orders", type=int, default=1)
@@ -212,9 +215,13 @@ def build_model(args, corpus, use_frames):
                    fi_hidden_units=tuple(json.loads(args.fi_hidden_units)),
                    w_hidden_units=tuple(json.loads(args.w_hidden_units)))
     if name == "DIN":
-        return cls(att_layers=att_layers, dnn_layers=dnn_layers, **seq_kwargs)
+        return cls(att_layers=att_layers, dnn_layers=dnn_layers,
+                   add_historical_situations=bool(
+                       args.add_historical_situations), **seq_kwargs)
     if name == "DIEN":
         return cls(fcn_hidden_layers=layers, alpha_aux=args.alpha_aux,
+                   add_historical_situations=bool(
+                       args.add_historical_situations),
                    aux_hidden_layers=tuple(json.loads(args.aux_hidden_layers)),
                    evolving_gru_type=args.evolving_gru_type, **seq_kwargs)
     if name == "CAN":

@@ -111,11 +111,17 @@ class DIENModel(nn.Module):
     fcn_hidden_layers: Sequence[int] = (64,)
     aux_hidden_layers: Sequence[int] = (64,)
     alpha_aux: float = 0.0
+    # append situation embeddings to each history step and each candidate
+    # (DIEN.py:52 via DINBase.get_all_embedding, DIN.py:132-141)
+    add_historical_situations: bool = False
     dropout: float = 0.0
     dtype: Any = jnp.float32
 
     def _gru_emb_size(self):
-        return self.emb_size * len(self.item_features)
+        n = len(self.item_features)
+        if self.add_historical_situations:
+            n += len(self.situation_features)
+        return self.emb_size * n
 
     @nn.compact
     def __call__(self, feed, *, feat_table=None, deterministic: bool = True,
@@ -128,14 +134,32 @@ class DIENModel(nn.Module):
         hislens = feed["lengths"]
         target_emb = jnp.stack(
             [ed.lookup(f, feed[f]) for f in self.item_features],
-            axis=-2).reshape(B, I, -1)
+            axis=-2)
         history_emb = jnp.stack(
             [ed.lookup(f, feed["history_" + f]) for f in self.item_features],
             axis=-2)
+        hist_situs = (self.add_historical_situations
+                      and bool(self.situation_features))
+        if hist_situs:
+            cur_situ = jnp.stack(
+                [ed.lookup(f, feed[f]) for f in self.situation_features],
+                axis=-2)
+            target_emb = jnp.concatenate(
+                [target_emb, jnp.repeat(cur_situ[:, None], I, axis=1)],
+                axis=-2)
+            history_emb = jnp.concatenate(
+                [history_emb,
+                 jnp.stack([ed.lookup(f, feed["history_" + f])
+                            for f in self.situation_features], axis=-2)],
+                axis=-2)
+        target_emb = target_emb.reshape(B, I, -1)
         history_emb = history_emb.reshape(B, history_emb.shape[1], -1)
         user_emb = jnp.stack(
             [ed.lookup(f, feed[f]) for f in self.user_features],
             axis=-2).reshape(B, -1)
+        # the reference keeps the situation context in the FCN input even
+        # when it is also appended to history/target (get_all_embeddings'
+        # ``else None`` arm at DIEN.py:93-94 is unreachable dead code)
         situ_emb = None
         if self.situation_features:
             situ_emb = jnp.stack(
@@ -207,6 +231,14 @@ class DIENModel(nn.Module):
              ("history_neg_" + f) in feed else
              ed.lookup(f, feed["history_" + f])
              for f in self.item_features], axis=-2)
+        if self.add_historical_situations and self.situation_features:
+            # neg items keep the POSITIVE history's situations
+            # (DIEN.py:100-104)
+            neg_emb = jnp.concatenate(
+                [neg_emb,
+                 jnp.stack([ed.lookup(f, feed["history_" + f])
+                            for f in self.situation_features], axis=-2)],
+                axis=-2)
         neg_emb = neg_emb.reshape(neg_emb.shape[0], neg_emb.shape[1], -1)
         aux_net = MLPBlock(self.aux_hidden_layers, output_dim=1,
                            dropout=self.dropout, dtype=self.dtype,

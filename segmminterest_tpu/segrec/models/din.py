@@ -73,6 +73,9 @@ class DINModel(nn.Module):
     emb_size: int = 64
     att_layers: Sequence[int] = (64,)
     dnn_layers: Sequence[int] = (64,)
+    # append historical situation embeddings to each history step AND the
+    # current situation to each candidate (DIN.py:132-141)
+    add_historical_situations: bool = False
     dropout: float = 0.0
     dtype: Any = jnp.float32
 
@@ -92,9 +95,21 @@ class DINModel(nn.Module):
             [ed.lookup(f, feed[f]) for f in self.user_features], axis=-2)
         situ_emb = [ed.lookup(f, feed[f]) for f in self.situation_features]
 
+        if self.add_historical_situations and self.situation_features:
+            hist_situ = jnp.stack(
+                [ed.lookup(f, feed["history_" + f])
+                 for f in self.situation_features], axis=-2)
+            history_item_emb = jnp.concatenate(
+                [history_item_emb, hist_situ], axis=-2)
+            cur_situ = jnp.stack(situ_emb, axis=-2)
+            item_feats_emb_ext = jnp.concatenate(
+                [item_feats_emb,
+                 jnp.repeat(cur_situ[:, None], I, axis=1)], axis=-2)
+            current_emb = item_feats_emb_ext.reshape(B, I, -1)
+        else:
+            current_emb = item_feats_emb.reshape(B, I, -1)
         history_emb = history_item_emb.reshape(
             B, history_item_emb.shape[1], -1)
-        current_emb = item_feats_emb.reshape(B, I, -1)
         ctx = [item_feats_emb,
                jnp.repeat(user_feats_emb[:, None], I, axis=1)]
         if situ_emb:
