@@ -94,7 +94,8 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=22)  # reference :19
     p.add_argument("--debug", type=int, default=0)
     p.add_argument("--eval_type_list", type=str,
-                   default="JaccardSim,LeaveMSE,LeaveCTR,LeaveCTR_view,TOP_K")
+                   default="JaccardSim,ProbAUC,LeaveMSE,LeaveCTR,"
+                           "LeaveCTR_view,TOP_K")
     p.add_argument("--TOP_K_permutation", type=int, default=1)
     p.add_argument("--TOP_K_mask", type=int, default=0)
     p.add_argument("--eval_cold", type=str, default="", choices=["", "test"])
