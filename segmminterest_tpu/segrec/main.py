@@ -254,9 +254,13 @@ def build_model(args, corpus, use_frames):
         return cls(emb_size=args.emb_size, **clip_kwargs)
     if name == "ClipDIENRec":
         return cls(emb_size=args.emb_size, fcn_hidden_layers=layers,
+                   evolving_gru_type=args.evolving_gru_type,
                    norm_interest_type=args.norm_interest_type, **clip_kwargs)
     if name == "ClipCANRec":
         return cls(emb_size=args.emb_size, fcn_hidden_layers=layers,
+                   evolving_gru_type=args.evolving_gru_type,
+                   orders=args.orders, induce_vec_size=args.induce_vec_size,
+                   co_action_layers=tuple(json.loads(args.co_action_layers)),
                    norm_interest_type=args.norm_interest_type, **clip_kwargs)
     raise ValueError(f"unknown model {name}")
 
