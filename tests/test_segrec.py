@@ -265,3 +265,31 @@ def test_test_all_full_sort(segrec_data):
     assert np.isfinite(preds[0, 0])
     res = r.evaluate(b, state)
     assert 0 <= res["HR@5"] <= 1
+
+
+def test_clip_weights_freedom_keys_and_neg_table(tmp_path):
+    """FREEDOM logit files use 2-part {uid}-{iid} keys (CTR feed variant,
+    BaseModel.py:376-412); eval_neg_weight supplies per-negative slices and
+    raises on a miss (BaseModel.py:129-145)."""
+    import json
+    import numpy as np
+    from segmminterest_tpu.segrec.feeds import ClipWeights
+    fp = tmp_path / "FREEDOM_logits.json"
+    json.dump({"7-99": [0.5] * 40}, open(fp, "w"))
+    np_ = tmp_path / "neg.json"
+    json.dump({"7-99": [0.25] * 40}, open(np_, "w"))
+    cw = ClipWeights(str(fp), neg_weight_path=str(np_))
+    assert cw.freedom_keys
+    np.testing.assert_allclose(cw.target_slice(7, 99, 12345),
+                               np.full(40, 0.5))
+    # missing key falls back to ones for targets...
+    np.testing.assert_allclose(cw.target_slice(8, 99, 1), np.ones(40))
+    np.testing.assert_allclose(cw.neg_slice(7, 99, 1), np.full(40, 0.25))
+    # ...but raises for negatives (reference KeyError path)
+    with pytest.raises(KeyError):
+        cw.neg_slice(8, 99, 1)
+    # non-FREEDOM path uses 3-part keys with the dense->raw maps
+    fp2 = tmp_path / "interest_logits.json"
+    json.dump({"70-990-5": [0.1] * 40}, open(fp2, "w"))
+    cw2 = ClipWeights(str(fp2), id2user={"7": "70"}, id2item={"99": "990"})
+    np.testing.assert_allclose(cw2.target_slice(7, 99, 5), np.full(40, 0.1))
