@@ -131,3 +131,21 @@ def test_introspection_flags_write_artifacts(tmp_path, sample_reader):
     assert "view_completion" in result
     figs = os.listdir(os.path.join(wd, "figure"))
     assert len(figs) == 2 and all(f.endswith(".png") for f in figs)
+
+
+def test_save_logits_artifact(tmp_path, sample_reader):
+    """--save_logits dumps [interests | gt | uid | pid] rows at test
+    (main_…SegMM.py:358-361)."""
+    cfg = InterestConfig(
+        sample_csv=SAMPLE, d_model=32, nhead=4, num_layers_enc=2,
+        user_input_type="id", photo_input_type="id", fusion_heads=2,
+        train_batch_size=128, valid_batch_size=128, test_batch_size=128,
+        epochs=1, valid_step=2, early_stop=0, loss_type="interestBPR",
+        exposure_prob=[1.0] * 40, ckpt_dir=str(tmp_path), debug=True,
+        save_logits=True)
+    result = run_training(cfg, sample_reader)
+    arr = np.load(os.path.join(result["work_dir"], "save_logits_gt_eval.npy"))
+    assert arr.shape[1] == 40 + 40 + 2   # interests | labels | uid | pid
+    assert np.isfinite(arr[:, :40]).all()
+    assert set(np.unique(arr[:, 40:80])) <= {1, 0, -1, -2}
+    assert (arr[:, 80] > 0).all() and (arr[:, 81] > 0).all()
