@@ -53,3 +53,23 @@ def shard_batch(mesh: Mesh, batch):
     """
     sharding = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def is_multihost(mesh: Mesh) -> bool:
+    """True when the mesh spans devices owned by other processes."""
+    pid = jax.process_index()
+    return any(d.process_index != pid for d in mesh.devices.flat)
+
+
+def to_host_global(x) -> np.ndarray:
+    """Materialize a (possibly cross-host sharded) array on every host.
+
+    Single-host arrays pass through np.asarray; multi-host shards are
+    all-gathered over DCN so host-side metric code sees the global batch —
+    the analogue of the reference's DistributedEvalSampler + gather
+    (kn_util/distributed/).
+    """
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)

@@ -26,6 +26,8 @@ HBM and the gather happens on device (see feature_store.py).
 
 from __future__ import annotations
 
+import queue
+import threading
 from typing import Dict, Iterator, Optional
 
 import numpy as np
@@ -36,13 +38,47 @@ from .feature_store import FeatureStore
 
 USER_MAX_SEGMENTS = 100  # dataloader_SegMM.py:199
 
+_SENTINEL = object()
+
+
+def prefetch(it: Iterator, size: int = 2) -> Iterator:
+    """Run ``it`` on a daemon thread, keeping up to ``size`` items assembled
+    ahead of the consumer (SURVEY.md §7 layer 2: double-buffered host work).
+
+    While the device executes step N the thread assembles batch N+1, so host
+    batch assembly overlaps device compute instead of serializing against it —
+    the reference's bottleneck was exactly this synchronous host path
+    (dataloader_SegMM.py:271-362, worked around there with torch DataLoader
+    workers). Exceptions raised by the producer are re-raised at the consumer.
+    """
+    q: queue.Queue = queue.Queue(maxsize=size)
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(_SENTINEL)
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
 
 class BatchIterator:
     def __init__(self, reader: SeqReader, table: InteractionTable,
                  batch_size: int, shuffle: bool = False,
                  feature_store: Optional[FeatureStore] = None,
                  seed: int = 2024, pad_final: bool = True,
-                 user_max: int = USER_MAX_SEGMENTS):
+                 user_max: int = USER_MAX_SEGMENTS,
+                 prefetch_size: int = 2):
         self.reader = reader
         self.table = table
         self.batch_size = batch_size
@@ -51,6 +87,7 @@ class BatchIterator:
         self.rng = np.random.default_rng(seed)
         self.pad_final = pad_final
         self.user_max = user_max
+        self.prefetch_size = prefetch_size
         # warm-up line ids are per-user constants; cache them
         self._warmup_cache: Dict[int, np.ndarray] = {}
 
@@ -139,7 +176,7 @@ class BatchIterator:
             batch["user_mask"] = np.ones((B, 1), bool)
         return batch
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+    def _batches(self) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(len(self.table))
         if self.shuffle:
             self.rng.shuffle(order)
@@ -149,3 +186,8 @@ class BatchIterator:
             if len(idx) < bs and not self.pad_final:
                 return
             yield self._assemble(idx)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.prefetch_size > 0:
+            return prefetch(self._batches(), self.prefetch_size)
+        return self._batches()

@@ -32,7 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..core.mesh import make_mesh, batch_sharding, replicated_sharding
+from ..core.mesh import (make_mesh, batch_sharding, is_multihost,
+                         replicated_sharding, to_host_global)
 from ..core.numerics import l1_normalize
 from ..data.dataset import BatchIterator
 from ..data.reader import SeqReader
@@ -88,6 +89,7 @@ class InterestEngine:
             else jax.devices())
         self._repl = replicated_sharding(self.mesh)
         self._batch_shard = batch_sharding(self.mesh)
+        self._multihost = is_multihost(self.mesh)
 
         if self.feature_mode:
             table = np.asarray(feature_table)
@@ -165,8 +167,23 @@ class InterestEngine:
         return {"params": params, "opt_state": opt_state}
 
     def put_batch(self, batch: Dict[str, np.ndarray]):
+        db = device_batch(batch)
+        if self._multihost:
+            # every process assembles the same global batch (same files, same
+            # seed); each ships only its rows of the DCN-major data axis —
+            # the sharded replacement for the reference's per-rank
+            # batch_size // world_size split (kn_util/distributed/utils.py:60)
+            pid, nproc = jax.process_index(), jax.process_count()
+
+            def put(v):
+                per = v.shape[0] // nproc
+                local = np.asarray(v[pid * per:(pid + 1) * per])
+                return jax.make_array_from_process_local_data(
+                    self._batch_shard, local)
+
+            return {k: put(v) for k, v in db.items()}
         return {k: jax.device_put(v, self._batch_shard)
-                for k, v in device_batch(batch).items()}
+                for k, v in db.items()}
 
     def train_step(self, state, rng, batch):
         params, opt_state, loss_dict = self._train_step(
@@ -193,7 +210,7 @@ def _valid_model(engine: InterestEngine, valid_iter: BatchIterator,
             break
         loss_dict, _, interests = engine.eval_step(state, batch)
         loss_dict = {k: float(v) for k, v in loss_dict.items()}
-        interests = np.asarray(interests)
+        interests = to_host_global(interests)
         gt = batch["label"]
         rm = batch["row_mask"]
         interests, gt = interests[rm], gt[rm]
@@ -221,7 +238,8 @@ def _valid_model(engine: InterestEngine, valid_iter: BatchIterator,
 
 def run_training(config: InterestConfig, reader: SeqReader,
                  feature_store: Optional[FeatureStore] = None,
-                 work_dir: Optional[str] = None) -> Dict[str, Any]:
+                 work_dir: Optional[str] = None,
+                 mesh=None) -> Dict[str, Any]:
     """Full train -> validate -> early-stop -> test pipeline
     (main_…SegMM.py:213-459). Returns dict with final test metrics and the
     checkpoint directory."""
@@ -234,7 +252,8 @@ def run_training(config: InterestConfig, reader: SeqReader,
     engine = InterestEngine(cfg, n_users=reader.n_users,
                             n_items=reader.n_items,
                             feature_table=np.asarray(feat_table)
-                            if feat_table is not None else None)
+                            if feat_table is not None else None,
+                            mesh=mesh)
 
     def make_iter(split, batch_size, shuffle, seed):
         return BatchIterator(reader, reader.tables[split], batch_size,
@@ -348,7 +367,7 @@ def run_training(config: InterestConfig, reader: SeqReader,
                         "train_loss": loss,
                         "train_gt": batch["label"][batch["row_mask"]],
                         "train_interests":
-                            np.asarray(tr_int)[batch["row_mask"]]})
+                            to_host_global(tr_int)[batch["row_mask"]]})
                 history = total_metrics[cfg.main_metrics]
                 if cfg.early_stop > 0:
                     if len(history) > cfg.early_stop:
@@ -416,7 +435,7 @@ def run_training(config: InterestConfig, reader: SeqReader,
                 break
             _, logits, interests = engine.eval_step(state, batch)
             rm = batch["row_mask"]
-            interests = np.asarray(interests)[rm]
+            interests = to_host_global(interests)[rm]
             gt = batch["label"][rm]
             if cfg.draw_case and local_step == 0:
                 # case-study heatmaps for the first rows of the first test
@@ -435,7 +454,7 @@ def run_training(config: InterestConfig, reader: SeqReader,
             main_eval_batch(interests, gt, results_list,
                             top_k_mask=cfg.top_k_mask,
                             top_k_permutation=cfg.top_k_permutation,
-                            logits=(np.asarray(logits)[rm]
+                            logits=(to_host_global(logits)[rm]
                                     if cfg.watchtime_metrics else None),
                             rng=eval_rng)
             if cfg.eval_cold:

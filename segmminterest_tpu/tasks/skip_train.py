@@ -99,6 +99,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fuse_projections", type=int,
                    default=int(d.fuse_projections),
                    help="horizontally fuse the 12 per-stream QKV projections")
+    p.add_argument("--distributed", type=int, default=0,
+                   help="multi-host: jax.distributed.initialize from "
+                        "RANK/WORLD_SIZE/COORDINATOR_ADDRESS env and train "
+                        "on a hybrid DCN x ICI mesh (the "
+                        "initialize_ddp_from_env analogue, "
+                        "kn_util/distributed/utils.py:47-63)")
     return p
 
 
@@ -155,6 +161,13 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(message)s")
     args = build_parser().parse_args(argv)
+    mesh = None
+    if args.distributed:
+        from ..parallel import initialize_from_env, make_hybrid_mesh
+        pid, nproc = initialize_from_env()
+        mesh = make_hybrid_mesh()
+        logging.getLogger(__name__).info(
+            "distributed: process %d/%d on %s", pid, nproc, mesh)
     cfg = config_from_args(args)
     if cfg.sample_csv:
         reader = SeqReader.from_single_csv(
@@ -174,7 +187,7 @@ def main(argv=None):
             f"--photo_input_type={cfg.photo_input_type} need segment CLIP "
             "features: pass --memmap and --lineid_map (see SegMM.md 'Read "
             "the Data'), or use id/id.")
-    result = run_training(cfg, reader, feature_store=store)
+    result = run_training(cfg, reader, feature_store=store, mesh=mesh)
     print(json.dumps({k: v for k, v in result.items()
                       if k in ("test_metrics", "cold_test_metrics",
                                "hot_test_metrics", "interactions_per_sec",
