@@ -75,6 +75,7 @@ class InterestEngine:
             fusion_heads=config.fusion_heads,
             learnable_bias=config.learnable_bias, use_pe=config.use_pe,
             ablation=config.ablation_type, dtype=dtype, remat=config.remat,
+            remat_scope=config.remat_scope,
             fused_attention=config.fused_attention,
             fuse_projections=config.fuse_projections)
         self.optimizer = optax.chain(

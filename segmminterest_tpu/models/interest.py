@@ -88,6 +88,7 @@ class SegInterestModel(nn.Module):
     ablation: str = "ours"
     dtype: Any = jnp.float32
     remat: bool = False
+    remat_scope: str = "layer"
     fused_attention: bool = False
     interpret: bool = False
     fuse_projections: bool = False
@@ -107,6 +108,7 @@ class SegInterestModel(nn.Module):
                 video_id_max=video_id_max, use_pe=self.use_pe,
                 ablation=self.ablation, output_layers=[-1],
                 dtype=self.dtype, remat=self.remat,
+                remat_scope=self.remat_scope,
                 fused_attention=self.fused_attention,
                 interpret=self.interpret,
                 fuse_projections=self.fuse_projections, name=name)

@@ -157,12 +157,23 @@ def mse_diagnostics(survival_masked, gt, view_lengths, durations, row_mask):
     """
     n = jnp.maximum(row_mask.sum(), 1)
     pred = survival_masked.sum(axis=1)
-    mse1 = (jnp.where(row_mask, (pred - view_lengths) ** 2, 0.0)).sum() / n
+
+    def broadcast_mse(inp, tgt):
+        # the reference feeds nn.MSELoss a (B,) input against a (B, 1) target
+        # (decoder_leave_focal.py:552,558 — view_lengths keeps keepdim=True),
+        # so torch broadcasts to (B, B) and averages ALL input/target pairs.
+        # Replicated exactly (it is a logged diagnostic); padded rows are
+        # excluded from both axes.
+        diff = inp[None, :] - tgt[:, None]
+        pair_mask = row_mask[None, :] & row_mask[:, None]
+        return jnp.where(pair_mask, diff * diff, 0.0).sum() / (n * n)
+
+    mse1 = broadcast_mse(pred, view_lengths.astype(pred.dtype))
     dur_idx = jnp.clip(durations - 1, 0, gt.shape[1] - 1)
     at_dur = jnp.take_along_axis(survival_masked, dur_idx[:, None], axis=1)[:, 0]
     pred2 = pred - at_dur + 1.0
-    vl2 = ((gt >= 0) & row_mask[:, None]).sum(axis=1).astype(jnp.float32)
-    mse2 = (jnp.where(row_mask, (pred2 - vl2) ** 2, 0.0)).sum() / n
+    vl2 = ((gt >= 0) & row_mask[:, None]).sum(axis=1).astype(pred.dtype)
+    mse2 = broadcast_mse(pred2, vl2)
     return mse1, mse2
 
 
@@ -180,9 +191,16 @@ def compute_loss_dict(logits: jax.Array, gt: jax.Array, row_mask: jax.Array,
     survival_masked = jnp.where(mask, survival, 0.0)
 
     out: Dict[str, jax.Array] = {}
+    # the reference's focal branch mutates gt IN PLACE (gt[gt>0]=1,
+    # gt[gt==-1]=0, decoder_leave_focal.py:534-535): every loss listed after
+    # 'focal' — and the mse2 diagnostic, always computed last — sees the
+    # mutated labels. Replicated by threading gt_cur through in list order.
+    gt_cur = gt
     for lt in loss_types:
         if lt == "focal":
-            out["focal"] = focal_loss(logits, gt, mask, row_mask, exposure_prob)
+            out["focal"] = focal_loss(logits, gt_cur, mask, row_mask,
+                                      exposure_prob)
+            gt_cur = jnp.where(gt_cur == -1, 0, gt_cur)
         elif lt == "huber":
             out["huber"] = huber_on_hazard(hazard_masked, view_lengths, row_mask)
         elif lt == "hazard":
@@ -193,16 +211,16 @@ def compute_loss_dict(logits: jax.Array, gt: jax.Array, row_mask: jax.Array,
         elif lt == "interestBPR":
             out["interestBPR"] = interest_bpr_all(logits, view_lengths, row_mask)
         elif lt == "interestCE":
-            out["interestCE"] = interest_leave_ce(logits, gt, mask, row_mask,
+            out["interestCE"] = interest_leave_ce(logits, gt_cur, mask, row_mask,
                                                   "CE", mask_loss)
         elif lt == "interestKL":
-            out["interestKL"] = interest_leave_ce(logits, gt, mask, row_mask,
+            out["interestKL"] = interest_leave_ce(logits, gt_cur, mask, row_mask,
                                                   "KL", mask_loss)
         else:
             raise ValueError(f"unknown loss type: {lt}")
 
-    mse1, mse2 = mse_diagnostics(survival_masked, gt, view_lengths, durations,
-                                 row_mask)
+    mse1, mse2 = mse_diagnostics(survival_masked, gt_cur, view_lengths,
+                                 durations, row_mask)
     out["mse"] = mse1
     out["mse2"] = mse2
 

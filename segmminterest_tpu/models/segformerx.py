@@ -25,6 +25,7 @@ Faithful quirks (kept deliberately, documented in PARITY.md):
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Optional, Sequence
 
 import jax
@@ -49,7 +50,10 @@ class KnMLP(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool):
-        act = {"relu": nn.relu, "gelu": nn.gelu}[self.activation]
+        # torch F.gelu (mlp.py get_activation_fn) is the exact erf form;
+        # flax nn.gelu defaults to the tanh approximation — use exact
+        act = {"relu": nn.relu,
+               "gelu": partial(nn.gelu, approximate=False)}[self.activation]
         n = len(self.dims) - 1
         for i in range(n):
             x = nn.Dense(self.dims[i + 1], kernel_init=DENSE_INIT,
@@ -114,8 +118,8 @@ class FourStreamAttention(nn.Module):
         return x.reshape(b, l, self.num_heads, self.d_model // self.num_heads)
 
     @nn.compact
-    def __call__(self, vid_feat, vid_mask, usr_feat, usr_mask, *,
-                 deterministic: bool):
+    def __call__(self, vid_feat, vid_mask, usr_feat, usr_mask,
+                 deterministic: bool = True):
         d = self.d_model
         dh = d // self.num_heads
 
@@ -300,18 +304,29 @@ class SegFormerXLayer(nn.Module):
     fused: bool = False
     interpret: bool = False
     fuse_projections: bool = False
+    # 'attention' remat scope: recompute only the projections+attention block
+    # on backward (its 12 projection outputs dominate live activations; the
+    # FFN hiddens stay saved, so backward re-runs ~60% of a layer instead of
+    # 100% as whole-layer remat does)
+    remat_attention: bool = False
 
     @nn.compact
     def __call__(self, usr_feat, usr_mask, vid_feat, vid_mask,
                  deterministic: bool):
-        vid_feat, usr_feat = FourStreamAttention(
+        attn_cls = (nn.remat(FourStreamAttention, static_argnums=(5,))
+                    if self.remat_attention else FourStreamAttention)
+        attn = attn_cls(
             d_model=self.d_model, num_heads=self.num_heads,
             dropout=self.dropout, ablation=self.ablation, dtype=self.dtype,
             fused=self.fused, interpret=self.interpret,
             fuse_projections=self.fuse_projections,
-            name="cross_attn")(
-                vid_feat, vid_mask, usr_feat, usr_mask,
-                deterministic=deterministic)
+            name="cross_attn")
+        if self.remat_attention:
+            vid_feat, usr_feat = attn(vid_feat, vid_mask, usr_feat, usr_mask,
+                                      deterministic)
+        else:
+            vid_feat, usr_feat = attn(vid_feat, vid_mask, usr_feat, usr_mask,
+                                      deterministic=deterministic)
         drop = nn.Dropout(self.dropout)
         ff_vid = KnMLP([self.d_model, self.ff_dim, self.d_model],
                        activation="gelu", dropout=self.dropout,
@@ -374,6 +389,9 @@ class SegFormerX(nn.Module):
     # sizes; recomputing them costs ~1/3 extra FLOPs and cuts live activation
     # memory to ~one layer
     remat: bool = False
+    # 'layer' recomputes the whole layer on backward; 'attention' recomputes
+    # only the projections+attention block (FFN activations stay live)
+    remat_scope: str = "layer"
     # run the mask/dropout/softmax/AV chain in the fused Pallas kernel
     fused_attention: bool = False
     interpret: bool = False
@@ -465,8 +483,9 @@ class SegFormerX(nn.Module):
         wanted = sorted({i % self.num_layers for i in output_layers})
         n_run = max(wanted) if wanted else 0
 
+        whole_layer_remat = self.remat and self.remat_scope == "layer"
         layer_cls = (nn.remat(SegFormerXLayer, static_argnums=(5,))
-                     if self.remat else SegFormerXLayer)
+                     if whole_layer_remat else SegFormerXLayer)
         states = [vid_x]
         usr_cur = usr_x
         for i in range(n_run):
@@ -476,6 +495,8 @@ class SegFormerX(nn.Module):
                 dtype=self.dtype, fused=self.fused_attention,
                 interpret=self.interpret,
                 fuse_projections=self.fuse_projections,
+                remat_attention=(self.remat
+                                 and self.remat_scope == "attention"),
                 name=f"layer_{i}")(usr_cur, usr_mask, states[-1], vid_mask,
                                    deterministic)
             states.append(vid_next)

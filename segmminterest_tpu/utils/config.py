@@ -81,6 +81,11 @@ class InterestConfig:
     debug: bool = False
     compute_dtype: str = "float32"   # float32 | bfloat16
     remat: bool = True               # rematerialize encoder layers on backward
+    # what to rematerialize: 'layer' recomputes the whole encoder layer on
+    # backward (max memory saving, ~+33% step time); 'attention' recomputes
+    # only the projections+attention block, keeping FFN activations live
+    # (most of the memory win at a fraction of the recompute)
+    remat_scope: str = "layer"       # layer | attention
     fused_attention: bool = True     # Pallas fused masked attention kernel
     # horizontally fuse the 12 per-stream QKV projections into 2 wide matmuls
     # per attention (same init distribution). Measured neutral-to-slower on

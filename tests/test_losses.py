@@ -70,6 +70,9 @@ def reference_losses(logits, gt, exposure, loss_types, mask_loss=False):
             alpha_t = 0.5 * g + 0.5 * (1 - g)
             l = alpha_t * l
             out["focal"] = (l[mask].sum() / bsz).item()
+            # the reference mutates gt IN PLACE here (:534-535): losses after
+            # 'focal' and the mse2 diagnostic see -1 -> 0
+            gt = torch.where(gt == -1, torch.zeros_like(gt), gt)
         elif loss == "huber":
             err = hazard_masked.sum(dim=1) - view_lengths.squeeze(1)
             h = torch.where(err.abs() < 1.0, 0.5 * err ** 2, err.abs() - 0.5)
@@ -123,12 +126,15 @@ def reference_losses(logits, gt, exposure, loss_types, mask_loss=False):
                 else:
                     out[loss] = F.kl_div(norm_interest.log(), norm_gt,
                                          reduction="batchmean").item()
+    # the reference keeps the (B, 1) keepdim target, so MSELoss broadcasts to
+    # an all-pairs (B, B) mean (decoder_leave_focal.py:552,558) — keep it
     out["mse"] = F.mse_loss(survival_masked.sum(dim=1),
-                            view_lengths.squeeze(1)).item()
+                            view_lengths).item()
     sm = survival_masked.clone()
     for i in range(sm.shape[0]):
         sm[i, durations[i] - 1] = 1
-    vl2 = (gt >= 0).sum(dim=1).double()
+    # gt here reflects the focal in-place mutation when 'focal' ran (:556)
+    vl2 = (gt >= 0).sum(dim=1, keepdim=True).double()
     out["mse2"] = F.mse_loss(sm.sum(dim=1), vl2).item()
     return out
 

@@ -1,0 +1,133 @@
+"""Device-path perf A/B driver (VERDICT r1 items 4/6).
+
+Measures steady-state train-step ips of the flagship SegMM config under one
+configuration override per process (remote-compile caching makes multiple
+big engines per process unreliable — CLAUDE.md). Results accumulate as JSON
+lines in --out for later analysis.
+
+  python tools/perf_ab.py --name base
+  python tools/perf_ab.py --name fuseproj --fuse_projections 1
+  python tools/perf_ab.py --name b2048 --batch 2048
+  python tools/perf_ab.py --name noremat_b512 --batch 512 --remat 0
+  python tools/perf_ab.py --name nofused --fused_attention 0
+  python tools/perf_ab.py --name evalonly --eval_only 1
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_LINES = 200_000
+FEAT_DIM = 1024
+USER_MAX = 100
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--name", required=True)
+    p.add_argument("--batch", type=int, default=1024)
+    p.add_argument("--remat", type=int, default=1)
+    p.add_argument("--remat_scope", default="layer",
+                   choices=["layer", "attention"])
+    p.add_argument("--fused_attention", type=int, default=1)
+    p.add_argument("--fuse_projections", type=int, default=0)
+    p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--eval_only", type=int, default=0)
+    p.add_argument("--d_model", type=int, default=512)
+    p.add_argument("--nhead", type=int, default=16)
+    p.add_argument("--num_layers_enc", type=int, default=6)
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--profile_dir", default="")
+    p.add_argument("--cost_analysis", type=int, default=0,
+                   help="print XLA's compiled cost analysis (flops/bytes) "
+                        "for the train step")
+    p.add_argument("--out", default="/tmp/perf_ab.jsonl")
+    args = p.parse_args()
+
+    from bench import make_batch
+
+    import jax
+    from segmminterest_tpu.engine.train import InterestEngine
+    from segmminterest_tpu.utils.config import InterestConfig
+
+    cfg = InterestConfig(
+        d_model=args.d_model, nhead=args.nhead,
+        num_layers_enc=args.num_layers_enc,
+        user_input_type="both", photo_input_type="both", fusion_heads=2,
+        loss_type="interestBPR,focal", exposure_prob=[1.0] * 40,
+        train_batch_size=args.batch, compute_dtype=args.compute_dtype,
+        remat=bool(args.remat), remat_scope=args.remat_scope,
+        fused_attention=bool(args.fused_attention),
+        fuse_projections=bool(args.fuse_projections))
+
+    rng = np.random.default_rng(0)
+    feat_table = rng.normal(size=(N_LINES, FEAT_DIM)).astype(np.float32)
+    engine = InterestEngine(cfg, n_users=1903, n_items=352494,
+                            feature_table=feat_table)
+
+    batches = [make_batch(rng, args.batch) for _ in range(4)]
+    state = engine.init_state(jax.random.PRNGKey(0), batches[0])
+    key = jax.random.key(1, impl=cfg.rng_impl)
+
+    def step(i, state, key):
+        key, k = jax.random.split(key)
+        if args.eval_only:
+            out = engine.eval_step(state, batches[i % 4])
+            return state, key, out[0]["loss"]
+        state, loss_dict = engine.train_step(state, k, batches[i % 4])
+        return state, key, loss_dict["loss"]
+
+    for i in range(args.warmup):
+        state, key, loss = step(i, state, key)
+    jax.block_until_ready(loss)
+
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+    st = time.perf_counter()
+    for i in range(args.steps):
+        state, key, loss = step(i, state, key)
+    jax.block_until_ready(loss)
+    elapsed = time.perf_counter() - st
+    if args.profile_dir:
+        jax.profiler.stop_trace()
+
+    ips = args.batch * args.steps / elapsed
+    cost = {}
+    if args.cost_analysis:
+        try:
+            lowered = engine._train_step.lower(
+                state["params"], state["opt_state"],
+                jax.random.key(0, impl=cfg.rng_impl),
+                engine.put_batch(batches[0]), engine.feat_table)
+            ca = lowered.compile().cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            cost = {"xla_flops": ca.get("flops"),
+                    "xla_bytes": ca.get("bytes accessed")}
+        except Exception as e:  # noqa: BLE001 — diagnostic only
+            cost = {"cost_error": str(e)}
+    rec = {"name": args.name, "ips": round(ips, 1),
+           "step_ms": round(1000 * elapsed / args.steps, 2),
+           "batch": args.batch, "remat": args.remat,
+           "remat_scope": args.remat_scope,
+           "fused_attention": args.fused_attention,
+           "fuse_projections": args.fuse_projections,
+           "eval_only": args.eval_only, "dtype": args.compute_dtype,
+           **cost}
+    line = json.dumps(rec)
+    print(line)
+    with open(args.out, "a") as f:
+        f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
