@@ -132,7 +132,14 @@ def main(argv=None):
                   emb_size=args.emb_size, v_feat=v_feat)
     if args.model in ("FREEDOM", "LATTICE"):
         feats = v_feat[:, :-1] if v_feat.shape[-1] % 8 == 1 else v_feat
-        mm_edges, mm_values = knn_item_graph(feats, args.knn_k)
+        if args.model == "LATTICE":
+            # LATTICE's frozen original_adj is a GLOBAL sim-weighted kNN
+            # (lattice.py:72-76 via utils.build_sim), unlike FREEDOM's
+            # block-local count-normalized one (freedom.py:103-119)
+            from .graph import global_weighted_knn_graph
+            mm_edges, mm_values = global_weighted_knn_graph(feats, args.knn_k)
+        else:
+            mm_edges, mm_values = knn_item_graph(feats, args.knn_k)
         kwargs.update(mm_edges=mm_edges, mm_values=mm_values)
     model = cls(**kwargs)
 

@@ -205,31 +205,50 @@ class FREEDOM(_MMBase):
 
 
 class LATTICE(_MMBase):
-    """models/lattice.py: the item graph blends the frozen kNN weights with
-    learned cosine weights of projected modal features (lambda_coeff) — the
-    fixed-shape analogue of re-deriving the kNN graph each epoch."""
+    """models/lattice.py: item_adj = lambda * original_adj (frozen global
+    sim-weighted kNN of raw features, lattice.py:72-76) + (1-lambda) *
+    learned_adj (kNN REBUILT each epoch from the projected learned features,
+    :137-157).
+
+    TPU redesign: the rebuilt STRUCTURE arrives as a fixed-shape (n*k, 2)
+    edge array input (runner recomputes it on device once per epoch /
+    evaluation via graph.knn_edges_device), and the sim-weighted laplacian
+    VALUES are computed in-graph from the projections — differentiable on
+    every batch, where the reference detaches after the epoch's first batch
+    (:158-159, a deviation that only widens the gradient signal). With
+    ``learned_edges=None`` the learned weights fall back onto the frozen
+    structure (no-rebuild mode)."""
     n_ui_layers: int = 2
 
     def setup(self):
         self._setup_common(needs_modal_proj=True)
 
-    def embeddings(self, keep_values=None):
+    def projected_features(self):
+        """image_trs(features) — the runner pulls this to rebuild the kNN
+        structure (lattice.py:134)."""
+        feats = self._modal_features()
+        return self.image_trs(feats) if feats is not None else None
+
+    def embeddings(self, keep_values=None, learned_edges=None):
+        from .graph import weighted_laplacian_values
+
         i = self._item_base()
         mm_edges = jnp.asarray(self.mm_edges)
         mm_values = jnp.asarray(self.mm_values)
         feats = self._modal_features()
+        lam = self.lambda_coeff
         if feats is not None:
             proj = self.image_trs(feats)
-            pn = proj / (jnp.linalg.norm(proj, axis=-1, keepdims=True) + 1e-12)
-            learned = jax.nn.relu(
-                (pn[mm_edges[:, 0]] * pn[mm_edges[:, 1]]).sum(-1))
-            values = self.lambda_coeff * mm_values \
-                + (1 - self.lambda_coeff) * learned
+            edges_l = (jnp.asarray(learned_edges)
+                       if learned_edges is not None else mm_edges)
+            values_l = weighted_laplacian_values(edges_l, proj, self.n_items)
         else:
-            values = mm_values
+            edges_l, values_l = mm_edges, mm_values
+            lam = 1.0
         h = i
         for _ in range(self.n_mm_layers):
-            h = item_graph_propagate(h, mm_edges, values)
+            h = lam * item_graph_propagate(h, mm_edges, mm_values) \
+                + (1 - lam) * item_graph_propagate(h, edges_l, values_l)
         u_g, i_g = self._gcn(self.user_embedding, i, keep_values,
                              self.n_ui_layers)
         return u_g, i_g + h

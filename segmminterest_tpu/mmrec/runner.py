@@ -88,9 +88,31 @@ class MMRecRunner:
         self.rng = np.random.default_rng(cfg.seed)
         self.optimizer = optax.adam(cfg.learning_rate)
         self.model_name = type(model).__name__
+        # LATTICE rebuilds its item-graph STRUCTURE from the learned
+        # projections once per epoch / evaluation (lattice.py:137-157); the
+        # fixed-shape edge array is a plain traced input, so one executable
+        self.dynamic_graph = self.model_name == "LATTICE"
+        self._knn_k = (len(model.mm_edges) // model.n_items
+                       if self.dynamic_graph else 0)
         self._jit_train = jax.jit(self._train_step, donate_argnums=(0,))
         self._jit_embed = jax.jit(
-            lambda p: self.model.apply({"params": p}, method="embeddings"))
+            lambda p, learned_edges=None: self.model.apply(
+                {"params": p}, learned_edges=learned_edges,
+                method="embeddings")
+            if self.dynamic_graph else
+            self.model.apply({"params": p}, method="embeddings"))
+        if self.dynamic_graph:
+            from .graph import knn_edges_device
+            self._jit_knn = jax.jit(lambda p: knn_edges_device(
+                self.model.apply({"params": p},
+                                 method="projected_features"),
+                self._knn_k))
+
+    def _rebuild_edges(self, state):
+        """Current learned kNN structure, or None for static-graph models."""
+        if not self.dynamic_graph:
+            return None
+        return self._jit_knn(state["params"])
 
     def init_state(self):
         rng = jax.random.PRNGKey(self.cfg.seed)
@@ -101,15 +123,20 @@ class MMRecRunner:
 
     # ------------------------------------------------------------------
     def _loss(self, params, u_idx, pos_idx, neg_idx, row_mask, keep_values,
-              rng):
+              rng, learned_edges=None):
         from .models import bpr_triplet_loss
         rngs = {"dropout": rng}
         if self.model_name == "BM3":
             return self.model.apply(
                 {"params": params}, u_idx, pos_idx, row_mask, keep_values,
                 method="bm3_loss", rngs=rngs)
-        u_all, i_all = self.model.apply({"params": params}, keep_values,
-                                        method="embeddings", rngs=rngs)
+        if self.dynamic_graph:
+            u_all, i_all = self.model.apply(
+                {"params": params}, keep_values, learned_edges,
+                method="embeddings", rngs=rngs)
+        else:
+            u_all, i_all = self.model.apply({"params": params}, keep_values,
+                                            method="embeddings", rngs=rngs)
         loss = bpr_triplet_loss(u_all[u_idx], i_all[pos_idx], i_all[neg_idx],
                                 row_mask)
         loss = loss + self.model.apply(
@@ -122,10 +149,10 @@ class MMRecRunner:
         return loss
 
     def _train_step(self, state, u_idx, pos_idx, neg_idx, row_mask,
-                    keep_values, rng):
+                    keep_values, rng, learned_edges=None):
         loss, grads = jax.value_and_grad(self._loss)(
             state["params"], u_idx, pos_idx, neg_idx, row_mask, keep_values,
-            rng)
+            rng, learned_edges)
         updates, opt_state = self.optimizer.update(grads, state["opt_state"],
                                                    state["params"])
         return {"params": optax.apply_updates(state["params"], updates),
@@ -151,6 +178,7 @@ class MMRecRunner:
         order = self.rng.permutation(n)
         neg = self.rng.integers(1, self.n_items, size=n)
         keep_values = self._epoch_keep_values()
+        learned_edges = self._rebuild_edges(state)
         losses = []
         bs = self.cfg.batch_size
         for start in range(0, n, bs):
@@ -164,7 +192,8 @@ class MMRecRunner:
             state, loss = self._jit_train(
                 state, jnp.asarray(self.train_users[idx]),
                 jnp.asarray(self.train_items[idx]),
-                jnp.asarray(neg[idx]), jnp.asarray(row_mask), keep_values, k)
+                jnp.asarray(neg[idx]), jnp.asarray(row_mask), keep_values, k,
+                learned_edges)
             losses.append(float(loss))
         return state, float(np.mean(losses)), rng_key
 
@@ -174,7 +203,8 @@ class MMRecRunner:
                  rng: Optional[np.random.Generator] = None):
         """eval_inters: [{userID, photo_id, view_length, duration}];
         scores come from the full-sort embeddings."""
-        u_all, i_all = self._jit_embed(state["params"])
+        u_all, i_all = self._jit_embed(state["params"],
+                                       self._rebuild_edges(state))
         u_all = np.asarray(u_all)
         i_all = np.asarray(i_all)
         interests = np.zeros((len(eval_inters), 40), np.float64)
@@ -194,7 +224,8 @@ class MMRecRunner:
         """Canonical {user_id-photo_id-time: [40]} export, padding with the
         user's default-item score analogue (here: 0.0) —
         topk_evaluator.save_logits :152-178 mode '0'."""
-        u_all, i_all = self._jit_embed(state["params"])
+        u_all, i_all = self._jit_embed(state["params"],
+                                       self._rebuild_edges(state))
         u_all = np.asarray(u_all)
         i_all = np.asarray(i_all)
         out = {}
