@@ -122,14 +122,28 @@ class FeedBuilder:
             hmax = history_max
             n = len(self.user_id)
             self.hist_items = np.zeros((n, hmax), np.int64)
+            self.hist_times = np.zeros((n, hmax), np.int64)
             self.hist_len = np.zeros(n, np.int32)
             self.hist_situs = {f: np.zeros((n, hmax), np.int64)
                                for f in corpus.situation_feature_names}
+            # per-user minimum positive time interval (TiSASRec.py:48-53:
+            # min over the all-pairs |ti-tj| matrix with zeros masked to
+            # 0xFFFF == min positive adjacent diff of the sorted times)
+            self.user_min_interval = np.full(corpus.n_users, 0xFFFF, np.int64)
+            for uid, times in corpus.user_his_times.items():
+                d = np.diff(np.asarray(times, np.int64))
+                d = d[d > 0]
+                if len(d):
+                    self.user_min_interval[uid] = d.min()
             for r in range(n):
                 items, _ = corpus.history_slice(self.user_id[r],
                                                 self.position[r], hmax)
                 self.hist_items[r, :len(items)] = items
                 self.hist_len[r] = len(items)
+                times_u = corpus.user_his_times[int(self.user_id[r])]
+                pos0 = int(self.position[r])
+                lo0 = max(0, pos0 - hmax) if hmax > 0 else 0
+                self.hist_times[r, :len(items)] = times_u[lo0:pos0]
                 pos = int(self.position[r])
                 lo = max(0, pos - hmax) if hmax > 0 else 0
                 for f in corpus.situation_feature_names:
@@ -239,7 +253,10 @@ class FeedBuilder:
             feed["c_interest_weight"] = pad(cw.astype(np.float32))
         if self.include_history:
             feed["history_item_id"] = pad(self.hist_items[idx])
+            feed["history_times"] = pad(self.hist_times[idx])
             feed["lengths"] = pad(self.hist_len[idx])
+            feed["user_min_intervals"] = pad(
+                self.user_min_interval[self.user_id[idx]])
             # historical item features (ContextSeqCTRModel.Dataset,
             # BaseContextModel.py:173-177)
             for f in corpus.item_feature_names:

@@ -27,7 +27,8 @@ from .runner import (CTRRunner, LeaveRankingRunner,
 logger = logging.getLogger(__name__)
 
 SEQ_MODELS = {"DIN", "DIEN", "CAN", "SDIM", "ClipDINRec", "ClipDIENRec",
-              "ClipCANRec", "SASRec", "GRU4Rec", "Caser"}
+              "ClipCANRec", "SASRec", "GRU4Rec", "Caser", "NARM", "FPMC",
+              "TiSASRec", "ComiRec"}
 
 
 def build_parser():
@@ -56,6 +57,19 @@ def build_parser():
                    help="full-sort ranking eval over all items with clicked "
                         "items masked -inf (BaseModel.py:200,231-235)")
     p.add_argument("--history_max", type=int, default=20)
+    p.add_argument("--time_max", type=int, default=512,
+                   help="TiSASRec max time-interval buckets")
+    p.add_argument("--comirec_attn_size", type=int, default=8)
+    p.add_argument("--comirec_k", type=int, default=2)
+    p.add_argument("--comirec_add_pos", type=int, default=1)
+    p.add_argument("--sam_interaction_type", type=str, default="SAM2E")
+    p.add_argument("--sam_aggregation", type=str, default="concat")
+    p.add_argument("--sam_num_layers", type=int, default=1)
+    p.add_argument("--sam_use_residual", type=int, default=0)
+    p.add_argument("--cin_layers", type=str, default="[8,8]",
+                   help="xDeepFM CIN layer sizes")
+    p.add_argument("--cin_direct", type=int, default=0,
+                   help="xDeepFM CIN direct connections")
     p.add_argument("--dropout", type=float, default=0.0)
     # model
     p.add_argument("--emb_size", type=int, default=64)
@@ -167,15 +181,43 @@ def build_model(args, corpus, use_frames):
         return cls(user_num=corpus.n_users, item_num=corpus.n_items,
                    emb_size=args.emb_size, history_max=args.history_max,
                    dropout=args.dropout)
-    if name == "GRU4Rec":
+    if name in ("GRU4Rec", "NARM", "FPMC"):
         return cls(user_num=corpus.n_users, item_num=corpus.n_items,
                    emb_size=args.emb_size, dropout=args.dropout)
+    if name == "TiSASRec":
+        return cls(user_num=corpus.n_users, item_num=corpus.n_items,
+                   emb_size=args.emb_size, history_max=args.history_max,
+                   time_max=args.time_max, dropout=args.dropout)
+    if name == "ComiRec":
+        return cls(user_num=corpus.n_users, item_num=corpus.n_items,
+                   emb_size=args.emb_size, history_max=args.history_max,
+                   attn_size=args.comirec_attn_size, K=args.comirec_k,
+                   add_pos=bool(args.comirec_add_pos), dropout=args.dropout)
     if name == "Caser":
         return cls(user_num=corpus.n_users, item_num=corpus.n_items,
                    emb_size=args.emb_size, history_max=args.history_max,
                    dropout=args.dropout)
     if name == "FM":
         return cls(feature_names, corpus.feature_max, emb_size=args.emb_size,
+                   dropout=args.dropout)
+    if name == "DeepFM":
+        return cls(feature_names, corpus.feature_max, emb_size=args.emb_size,
+                   layers=layers, dropout=args.dropout)
+    if name == "AFM":
+        return cls(feature_names, corpus.feature_max, emb_size=args.emb_size,
+                   attention_size=args.attention_size,
+                   reg_weight=args.reg_weight, dropout=args.dropout)
+    if name == "SAM":
+        return cls(feature_names, corpus.feature_max, emb_size=args.emb_size,
+                   interaction_type=args.sam_interaction_type,
+                   aggregation=args.sam_aggregation,
+                   num_layers=args.sam_num_layers,
+                   use_residual=bool(args.sam_use_residual),
+                   dropout=args.dropout)
+    if name == "xDeepFM":
+        return cls(feature_names, corpus.feature_max, emb_size=args.emb_size,
+                   layers=layers, cin_layers=json.loads(args.cin_layers),
+                   direct=bool(args.cin_direct), reg_weight=args.reg_weight,
                    dropout=args.dropout)
     if name == "WideDeep":
         return cls(feature_names, corpus.feature_max, emb_size=args.emb_size,

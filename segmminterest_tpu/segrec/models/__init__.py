@@ -20,7 +20,10 @@ from .clip_variants import (ClipAdaGINModel, ClipAutoIntModel, ClipCANModel,
                             ClipDCNv2Model, ClipDIENModel, ClipFinalMLPModel)
 from .general import (BPRMFModel, DirectAUModel, LightGCNModel, NeuMFModel,
                       POPModel)
-from .sequential import CaserModel, GRU4RecModel, SASRecModel
+from .sequential import (CaserModel, ComiRecModel, FPMCModel, GRU4RecModel,
+                         NARMModel, SASRecModel, TiSASRecModel)
+from .deepfm import AFMModel, DeepFMModel, XDeepFMModel
+from .sam import SAMModel
 
 MODEL_REGISTRY = {
     "BPRMF": BPRMFModel,
@@ -31,8 +34,16 @@ MODEL_REGISTRY = {
     "SASRec": SASRecModel,
     "GRU4Rec": GRU4RecModel,
     "Caser": CaserModel,
+    "NARM": NARMModel,
+    "FPMC": FPMCModel,
+    "TiSASRec": TiSASRecModel,
+    "ComiRec": ComiRecModel,
     "FM": FMModel,
     "WideDeep": WideDeepModel,
+    "DeepFM": DeepFMModel,
+    "AFM": AFMModel,
+    "xDeepFM": XDeepFMModel,
+    "SAM": SAMModel,
     "DCN": DCNModel,
     "DCNv2": DCNv2Model,
     "AutoInt": AutoIntModel,

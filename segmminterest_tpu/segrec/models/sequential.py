@@ -175,3 +175,208 @@ class CaserModel(nn.Module):
         i_vectors = embed(self.item_num, 2 * self.emb_size, "i_out",
                           self.dtype)(i_ids)
         return (his_vector[:, None, :] * i_vectors).sum(-1)
+
+
+class NARMModel(nn.Module):
+    """NARM.py: global GRU (last hidden = session intent) + local GRU whose
+    per-step outputs are attention-pooled (sigmoid energies, NOT softmax —
+    NARM.py:73-79), concatenated and projected to the item space."""
+    user_num: int
+    item_num: int
+    emb_size: int = 64
+    hidden_size: int = 100
+    attention_size: int = 50
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feed, *, deterministic: bool = True):
+        history = feed["history_item_id"].astype(jnp.int32)
+        lengths = feed["lengths"].astype(jnp.int32)
+        i_ids = feed["item_id"].astype(jnp.int32)
+        i_embeddings = embed(self.item_num, self.emb_size, "i_embeddings",
+                             self.dtype)
+        his = i_embeddings(history)
+        _, hidden_g = MaskedGRU(self.hidden_size, dtype=self.dtype,
+                                name="encoder_g")(his, lengths)
+        output_l, _ = MaskedGRU(self.hidden_size, dtype=self.dtype,
+                                name="encoder_l")(his, lengths)
+        att_g = dense(self.attention_size, "A1", use_bias=False,
+                      dtype=self.dtype)(hidden_g)
+        att_l = dense(self.attention_size, "A2", use_bias=False,
+                      dtype=self.dtype)(output_l)
+        energy = dense(1, "attention_out", use_bias=False, dtype=self.dtype)(
+            jax.nn.sigmoid(att_g[:, None, :] + att_l))
+        energy = energy * (history > 0)[..., None].astype(energy.dtype)
+        c_l = (energy * output_l).sum(1)
+        pred_vector = dense(self.emb_size, "out", use_bias=False,
+                            dtype=self.dtype)(
+            jnp.concatenate([hidden_g, c_l], axis=1))
+        i_vectors = i_embeddings(i_ids)
+        return (pred_vector[:, None, :] * i_vectors).sum(-1)
+
+
+class FPMCModel(nn.Module):
+    """FPMC.py: factorized personalized Markov chain — user x candidate plus
+    last-item x candidate bilinear terms. The reference dataset ships
+    last_item_id explicitly; here it is the final valid history position."""
+    user_num: int
+    item_num: int
+    emb_size: int = 64
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feed, *, deterministic: bool = True):
+        uid = feed["user_id"].astype(jnp.int32)
+        i_ids = feed["item_id"].astype(jnp.int32)
+        history = feed["history_item_id"].astype(jnp.int32)
+        lengths = feed["lengths"].astype(jnp.int32)
+        idx = jnp.clip(lengths - 1, 0, history.shape[1] - 1)
+        last_item = jnp.take_along_axis(history, idx[:, None], axis=1)[:, 0]
+        ui = embed(self.user_num, self.emb_size, "ui_embeddings",
+                   self.dtype)(uid)
+        iu = embed(self.item_num, self.emb_size, "iu_embeddings",
+                   self.dtype)(i_ids)
+        li = embed(self.item_num, self.emb_size, "li_embeddings",
+                   self.dtype)(last_item)
+        il = embed(self.item_num, self.emb_size, "il_embeddings",
+                   self.dtype)(i_ids)
+        return (ui[:, None, :] * iu).sum(-1) + (li[:, None, :] * il).sum(-1)
+
+
+class TiSASRecModel(nn.Module):
+    """TiSASRec.py: SASRec with relative position AND personalized time
+    intervals — per-pair interval buckets |t_i - t_j| / user_min_interval
+    (clamped to time_max) contribute additive key/value embeddings inside the
+    causal attention (TimeIntervalMultiHeadAttention :118-176)."""
+    user_num: int
+    item_num: int
+    emb_size: int = 64
+    num_layers: int = 1
+    num_heads: int = 4
+    time_max: int = 512
+    history_max: int = 20
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feed, *, deterministic: bool = True):
+        history = feed["history_item_id"].astype(jnp.int32)
+        t_history = feed["history_times"].astype(jnp.int64)
+        user_min_t = jnp.maximum(
+            feed["user_min_intervals"].astype(jnp.int64), 1)
+        lengths = feed["lengths"].astype(jnp.int32)
+        i_ids = feed["item_id"].astype(jnp.int32)
+        B, L = history.shape
+        H, E = self.num_heads, self.emb_size
+        dk = E // H
+        valid_his = (history > 0).astype(jnp.int32)
+
+        i_embeddings = embed(self.item_num, E, "i_embeddings", self.dtype)
+        his = i_embeddings(history)
+        position = (lengths[:, None] - jnp.arange(L)[None, :]) * valid_his
+        position = jnp.clip(position, 0, self.history_max)
+        pos_k = embed(self.history_max + 1, E, "p_k_embeddings",
+                      self.dtype)(position)
+        pos_v = embed(self.history_max + 1, E, "p_v_embeddings",
+                      self.dtype)(position)
+
+        interval = jnp.abs(t_history[:, :, None] - t_history[:, None, :])
+        interval = jnp.clip(interval // user_min_t[:, None, None],
+                            0, self.time_max).astype(jnp.int32)
+        inter_k = embed(self.time_max + 1, E, "t_k_embeddings",
+                        self.dtype)(interval)   # (B, L, L, E)
+        inter_v = embed(self.time_max + 1, E, "t_v_embeddings",
+                        self.dtype)(interval)
+
+        causal = jnp.tril(jnp.ones((1, 1, L, L), bool))
+        drop = nn.Dropout(self.dropout)
+        for b in range(self.num_layers):
+            q = dense(E, f"q_linear_{b}", dtype=self.dtype)(his)
+            k = dense(E, f"k_linear_{b}", dtype=self.dtype)(his) + pos_k
+            v = dense(E, f"v_linear_{b}", dtype=self.dtype)(his) + pos_v
+
+            def split(t):
+                return t.reshape(B, L, H, dk).transpose(0, 2, 1, 3)
+            qh, kh, vh = split(q), split(k), split(v)
+            ik = inter_k.reshape(B, L, L, H, dk).transpose(0, 3, 1, 2, 4)
+            iv = inter_v.reshape(B, L, L, H, dk).transpose(0, 3, 1, 2, 4)
+            scores = qh @ kh.transpose(0, 1, 3, 2)
+            scores = scores + (qh[:, :, :, None, :] * ik).sum(-1)
+            scores = scores / np.sqrt(dk)
+            scores = jnp.where(causal, scores, -jnp.inf)
+            # the reference subtracts the GLOBAL max before softmax
+            # (TiSASRec.py:172) — softmax is shift-invariant, same result
+            probs = jax.nn.softmax(scores.astype(jnp.float32),
+                                   axis=-1).astype(his.dtype)
+            probs = jnp.where(jnp.isnan(probs), 0.0, probs)
+            ctx = probs @ vh + (probs[..., None] * iv).sum(-2)
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, E)
+            # TimeIntervalTransformerLayer: post-LN residual + relu FFN
+            x = nn.LayerNorm(name=f"ln1_{b}")(
+                drop(ctx, deterministic=deterministic) + his)
+            ff = dense(E, f"ff2_{b}", dtype=self.dtype)(
+                nn.relu(dense(E, f"ff1_{b}", dtype=self.dtype)(x)))
+            his = nn.LayerNorm(name=f"ln2_{b}")(
+                drop(ff, deterministic=deterministic) + x)
+
+        his = his * valid_his[:, :, None].astype(his.dtype)
+        idx = jnp.clip(lengths - 1, 0, L - 1)
+        his_vector = jnp.take_along_axis(
+            his, idx[:, None, None].repeat(E, axis=2), axis=1)[:, 0]
+        i_vectors = i_embeddings(i_ids)
+        return (his_vector[:, None, :] * i_vectors).sum(-1)
+
+
+class ComiRecModel(nn.Module):
+    """ComiRec.py: multi-interest extraction — K attention heads over the
+    (position-embedded) history produce K interest vectors; training scores
+    candidates with the interest closest to the TARGET (first candidate,
+    ComiRec.py:83-88), evaluation takes the max over interests per candidate."""
+    user_num: int
+    item_num: int
+    emb_size: int = 64
+    attn_size: int = 8
+    K: int = 2
+    add_pos: bool = True
+    history_max: int = 20
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feed, *, deterministic: bool = True):
+        history = feed["history_item_id"].astype(jnp.int32)
+        lengths = feed["lengths"].astype(jnp.int32)
+        i_ids = feed["item_id"].astype(jnp.int32)
+        B, L = history.shape
+        valid_his = (history > 0).astype(jnp.int32)
+        i_embeddings = embed(self.item_num, self.emb_size, "i_embeddings",
+                             self.dtype)
+        his = i_embeddings(history)
+        his_pos = his
+        if self.add_pos:
+            position = (lengths[:, None] - jnp.arange(L)[None, :]) * valid_his
+            his_pos = his + embed(self.history_max + 1, self.emb_size,
+                                  "p_embeddings", self.dtype)(
+                jnp.clip(position, 0, self.history_max))
+        attn = dense(self.K, "W2", dtype=self.dtype)(
+            jnp.tanh(dense(self.attn_size, "W1", dtype=self.dtype)(his_pos)))
+        attn = jnp.where(valid_his[..., None] == 0, -jnp.inf, attn)
+        attn = attn.swapaxes(-1, -2)                    # (B, K, L)
+        attn = jax.nn.softmax(attn.astype(jnp.float32),
+                              axis=-1).astype(his.dtype)
+        attn = jnp.where(jnp.isnan(attn), 0.0, attn)
+        interests = (his[:, None, :, :] * attn[..., None]).sum(-2)  # (B,K,E)
+
+        i_vectors = i_embeddings(i_ids)
+        if not deterministic:  # train phase (ComiRec.py:83-88)
+            target = i_vectors[:, 0]
+            target_pred = (interests * target[:, None, :]).sum(-1)  # (B, K)
+            sel = jnp.argmax(target_pred, axis=-1)
+            user_vector = jnp.take_along_axis(
+                interests, sel[:, None, None].repeat(self.emb_size, 2),
+                axis=1)[:, 0]
+            return (user_vector[:, None, :] * i_vectors).sum(-1)
+        scores = (interests[:, None, :, :] * i_vectors[:, :, None, :]).sum(-1)
+        return scores.max(-1)

@@ -304,6 +304,10 @@ class RankingRunner:
                          if "contrastive" in jax.tree_util.keystr(path)
                          else 1.0)
                     loss = loss + w * v
+            if hasattr(self.model, "reg_loss"):
+                # AFM/xDeepFM-style L2 terms over specific parameter groups
+                # (AFM.py:103-106, xDeepFM.py:77-94)
+                loss = loss + self.model.reg_loss(params)
             return loss, mutated
 
         (loss, mutated), grads = jax.value_and_grad(

@@ -18,6 +18,8 @@ def seq_feed(rng, B=4, I=3, L=6):
         "item_id": rng.integers(1, N_ITEMS, size=(B, I)),
         "row_mask": np.ones(B, bool),
         "history_item_id": rng.integers(1, N_ITEMS, size=(B, L)),
+        "history_times": np.sort(rng.integers(0, 10_000, size=(B, L))),
+        "user_min_intervals": rng.integers(1, 50, size=B),
         "lengths": rng.integers(1, L + 1, size=B),
     }
 
@@ -42,11 +44,20 @@ def build(name, rng):
     if name == "Caser":
         return cls(user_num=N_USERS, item_num=N_ITEMS, emb_size=8,
                    num_horizon=4, num_vertical=2, L=3, history_max=6)
+    if name in ("NARM", "FPMC"):
+        return cls(user_num=N_USERS, item_num=N_ITEMS, emb_size=8)
+    if name == "TiSASRec":
+        return cls(user_num=N_USERS, item_num=N_ITEMS, emb_size=8,
+                   num_heads=2, history_max=6, time_max=16)
+    if name == "ComiRec":
+        return cls(user_num=N_USERS, item_num=N_ITEMS, emb_size=8,
+                   attn_size=4, K=2, history_max=6)
     raise ValueError(name)
 
 
 @pytest.mark.parametrize("name", ["BPRMF", "NeuMF", "LightGCN", "DirectAU",
-                                  "POP", "SASRec", "GRU4Rec", "Caser"])
+                                  "POP", "SASRec", "GRU4Rec", "Caser",
+                                  "NARM", "FPMC", "TiSASRec", "ComiRec"])
 def test_baseline_forward(rng, name):
     model = build(name, rng)
     feed = {k: jnp.asarray(v) for k, v in seq_feed(rng).items()}

@@ -44,8 +44,16 @@ def synthetic_feed(rng, B=4, I=3, L=6, with_frames=False, n_lines=50):
 def build_model(name, cls, use_frames):
     kwargs = {}
     common = dict(feature_max=FEATURE_MAX, dropout=0.1)
-    if name in ("FM", "WideDeep", "DCN", "DCNv2", "AutoInt", "FinalMLP",
-                "AdaGIN"):
+    if name in ("FM", "WideDeep", "DeepFM", "DCN", "DCNv2", "AutoInt",
+                "FinalMLP", "AdaGIN"):
+        return cls(FEATURES, FEATURE_MAX, emb_size=8, dropout=0.1)
+    if name == "AFM":
+        return cls(FEATURES, FEATURE_MAX, emb_size=8, attention_size=8,
+                   dropout=0.1)
+    if name == "xDeepFM":
+        return cls(FEATURES, FEATURE_MAX, emb_size=8, cin_layers=(4, 4),
+                   dropout=0.1)
+    if name == "SAM":
         return cls(FEATURES, FEATURE_MAX, emb_size=8, dropout=0.1)
     if name in ("DIN", "DIEN", "CAN", "SDIM"):
         return cls(user_features=["user_id"],
@@ -64,7 +72,7 @@ def build_model(name, cls, use_frames):
 # test_baseline_models.py
 CONTEXT_MODELS = sorted(set(MODEL_REGISTRY) - {
     "BPRMF", "NeuMF", "LightGCN", "DirectAU", "POP",
-    "SASRec", "GRU4Rec", "Caser"})
+    "SASRec", "GRU4Rec", "Caser", "NARM", "FPMC", "TiSASRec", "ComiRec"})
 
 
 @pytest.mark.parametrize("name", CONTEXT_MODELS)
@@ -159,6 +167,29 @@ def test_ranking_end_to_end(segrec_data):
                           "SegMM", "--epoch", "1", "--batch_size", "256",
                           "--emb_size", "16", "--topk", "3,5"])
     assert 0.0 <= result["test"]["HR@3"] <= 1.0
+
+
+@pytest.mark.slow
+def test_tisasrec_ranking_end_to_end(segrec_data):
+    """Exercises the time-interval feed fields (history_times,
+    user_min_intervals) end-to-end through the ranking runner."""
+    from segmminterest_tpu.segrec.main import main as segrec_main
+    result = segrec_main(["--model_name", "TiSASRec", "--model_mode",
+                          "Ranking", "--path", segrec_data, "--dataset",
+                          "SegMM", "--epoch", "1", "--batch_size", "256",
+                          "--emb_size", "16", "--time_max", "32",
+                          "--topk", "3,5"])
+    assert 0.0 <= result["test"]["HR@3"] <= 1.0
+
+
+@pytest.mark.slow
+def test_xdeepfm_ctr_end_to_end(segrec_data):
+    from segmminterest_tpu.segrec.main import main as segrec_main
+    result = segrec_main(["--model_name", "xDeepFM", "--model_mode", "CTR",
+                          "--path", segrec_data, "--dataset", "SegMM_CTR",
+                          "--epoch", "1", "--batch_size", "256",
+                          "--emb_size", "16", "--cin_layers", "[4,4]"])
+    assert 0.4 < result["test"]["AUC"] <= 1.0
 
 
 @pytest.mark.parametrize("kind", ["ContrastiveLoss", "infoNCELoss"])
