@@ -81,6 +81,7 @@ def test_shard_work_covers_all_items():
     assert sorted(flat) == items
 
 
+@pytest.mark.slow
 def test_feature_mode_training_on_assembled_store(tmp_path, rng):
     """Full loop closure: extract (random tower) -> assemble -> train the
     dual-backbone 'both' model on the real feature store."""

@@ -14,6 +14,7 @@ def test_mesh_has_8_devices():
     assert mesh.shape["data"] == 8 and mesh.shape["model"] == 1
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoints():
     import sys
     sys.path.insert(0, "/root/repo")
@@ -24,6 +25,7 @@ def test_dryrun_multichip_entrypoints():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device_training():
     """One train step on an 8-way mesh must equal the same step on 1 device."""
     from segmminterest_tpu.engine.train import InterestEngine
@@ -51,6 +53,7 @@ def test_sharded_matches_single_device_training():
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_segrec_runner_sharded_matches_single_device(segrec_data):
     """SegRec CTR training end-to-end: the 8-device batch-sharded runner
     must produce the same metrics as the single-device path (GSPMD psum

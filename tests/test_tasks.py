@@ -34,6 +34,7 @@ def test_build_interactions_segmm(tmp_path):
     assert all("_" in s for s in some)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("method", ["wlr", "d2q", "tpm", "ours"])
 def test_watchtime_baselines(tmp_path, method):
     """A12-A14: the watch-time baseline trainers produce finite MAE/HR1
@@ -89,6 +90,7 @@ def test_convert_baseline_logits_unit(rng):
     assert all(x == 0.5 for x in logits["11-88-2000"])
 
 
+@pytest.mark.slow
 def test_exp_multi_seed_sweep(tmp_path, segrec_data):
     """C2: the sweep harness runs an entry across seeds and writes the
     per-seed + mean csv (SegRec/exp.py:84-126)."""

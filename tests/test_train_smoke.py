@@ -51,6 +51,7 @@ def test_batch_iterator_shapes(sample_reader):
     assert (last["label"][~last["row_mask"]] == -2).all()
 
 
+@pytest.mark.slow
 def test_training_end_to_end(tmp_path, sample_reader):
     cfg = InterestConfig(
         sample_csv=SAMPLE, d_model=32, nhead=4, num_layers_enc=2,
@@ -77,6 +78,7 @@ def test_training_end_to_end(tmp_path, sample_reader):
     assert len(result["valid_metrics"]["HR@5"]) >= 2
 
 
+@pytest.mark.slow
 def test_kuairand_dialect_end_to_end(tmp_path, rng):
     """KuaiRand column dialect (photo_id / play_time_ms, no label_1D) flows
     through the same reader + training path (SURVEY.md A2/A9)."""
@@ -111,6 +113,7 @@ def test_kuairand_dialect_end_to_end(tmp_path, rng):
     assert np.isfinite(result["test_metrics"]["HR@5"])
 
 
+@pytest.mark.slow
 def test_introspection_flags_write_artifacts(tmp_path, sample_reader):
     """--record_train_detail / --count_view_completion / --plot_curves /
     --draw_case artifacts (main_…SegMM.py:241-254,314-327,462-470)."""
@@ -133,6 +136,7 @@ def test_introspection_flags_write_artifacts(tmp_path, sample_reader):
     assert len(figs) == 2 and all(f.endswith(".png") for f in figs)
 
 
+@pytest.mark.slow
 def test_save_logits_artifact(tmp_path, sample_reader):
     """--save_logits dumps [interests | gt | uid | pid] rows at test
     (main_…SegMM.py:358-361)."""
