@@ -145,7 +145,12 @@ def measure(result: dict) -> None:
         d_model=512, nhead=16, num_layers_enc=6,
         user_input_type="both", photo_input_type="both", fusion_heads=2,
         loss_type="interestBPR,focal", exposure_prob=[1.0] * 40,
-        train_batch_size=BATCH, compute_dtype="bfloat16")
+        train_batch_size=BATCH, compute_dtype="bfloat16",
+        # measured on v5e (tools/perf_ab.py): attention-scope remat beats
+        # whole-layer remat at B=1024 and fits HBM with this table size;
+        # no-remat needs 16.1G (OOM). With the production 3.9M-row table
+        # (~7.5 GB) whole-layer remat is the safe setting.
+        remat_scope="attention")
 
     rng = np.random.default_rng(0)
     feat_table = rng.normal(size=(N_LINES, FEAT_DIM)).astype(np.float32)

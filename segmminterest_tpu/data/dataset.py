@@ -90,6 +90,33 @@ class BatchIterator:
         self.prefetch_size = prefetch_size
         # warm-up line ids are per-user constants; cache them
         self._warmup_cache: Dict[int, np.ndarray] = {}
+        # per-table-row gather tables, built once on first iteration: the
+        # photo lines and the (uid, position) candidate pools are functions
+        # of the fixed table rows, so the per-sample dict lookups + history
+        # slicing (the reference's hot path, dataloader_SegMM.py:302-352)
+        # collapse into one vectorized index per batch. Only the per-epoch
+        # random subsample of oversized pools stays per-row.
+        self._photo_tab: Optional[np.ndarray] = None
+        self._pool_concat: Optional[np.ndarray] = None
+        self._pool_off: Optional[np.ndarray] = None
+
+    def _build_row_tables(self):
+        t = self.table
+        n = len(t)
+        self._photo_tab = np.full((n, MAX_SEGMENTS), -1, np.int32)
+        pools = []
+        off = np.zeros(n + 1, np.int64)
+        for r in range(n):
+            n_frames = int((t.labels[r] != -2).sum())
+            pl = self.store.photo_line_ids(int(t.video_raw[r]), n_frames)
+            self._photo_tab[r, :len(pl)] = pl
+            pool = self._user_lines_pool(int(t.user_raw[r]),
+                                         int(t.position[r]))
+            pools.append(pool)
+            off[r + 1] = off[r] + len(pool)
+        self._pool_concat = (np.concatenate(pools) if pools
+                             else np.zeros(0, np.int32))
+        self._pool_off = off
 
     def __len__(self) -> int:
         n = len(self.table)
@@ -104,19 +131,16 @@ class BatchIterator:
             self._warmup_cache[uid] = self.store.warmup_line_ids(frames)
         return self._warmup_cache[uid]
 
-    def _user_lines(self, uid: int, position: int) -> np.ndarray:
+    def _user_lines_pool(self, uid: int, position: int) -> np.ndarray:
         """Candidate pool = played segments of the (truncated) history plus
-        the warm-up pool, randomly subsampled to user_max
-        (dataloader_SegMM.py:319-350)."""
+        the warm-up pool (dataloader_SegMM.py:319-350); the random
+        subsample to user_max happens per batch in _assemble."""
         items, playing = self.reader.history_slice(uid, position)
         chunks = [self.store.played_line_ids(pid, pt)
                   for pid, pt in zip(items, playing)]
         chunks.append(self._warmup_lines(uid))
-        cand = np.concatenate(chunks) if chunks else np.zeros(0, np.int32)
-        if len(cand) > self.user_max:
-            idx = self.rng.choice(len(cand), self.user_max, replace=False)
-            cand = cand[idx]
-        return cand
+        return (np.concatenate(chunks) if chunks
+                else np.zeros(0, np.int32)).astype(np.int32)
 
     def _assemble(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
         t = self.table
@@ -155,17 +179,21 @@ class BatchIterator:
             [t.time_ms[idx], np.zeros(B - n_real, np.int64)])
 
         if self.store is not None:
+            if self._photo_tab is None:
+                self._build_row_tables()
             photo_lines = np.full((B, MAX_SEGMENTS), -1, np.int32)
+            photo_lines[:n_real] = self._photo_tab[idx]
             user_lines = np.full((B, self.user_max), -1, np.int32)
             user_mask = np.zeros((B, self.user_max), bool)
+            off, concat = self._pool_off, self._pool_concat
+            lens = (off[idx + 1] - off[idx]).astype(np.int64)
             for bi, ri in enumerate(idx):
-                n_frames = int((t.labels[ri] != -2).sum())
-                pl = self.store.photo_line_ids(int(t.video_raw[ri]), n_frames)
-                photo_lines[bi, :len(pl)] = pl
-                ul = self._user_lines(int(t.user_raw[ri]),
-                                      int(t.position[ri]))
-                m = min(len(ul), self.user_max)
-                user_lines[bi, :m] = ul[:m]
+                pool = concat[off[ri]:off[ri + 1]]
+                if lens[bi] > self.user_max:
+                    pool = pool[self.rng.choice(lens[bi], self.user_max,
+                                                replace=False)]
+                m = len(pool)
+                user_lines[bi, :m] = pool
                 user_mask[bi, :m] = True
             batch["photo_lines"] = photo_lines
             batch["user_lines"] = user_lines
