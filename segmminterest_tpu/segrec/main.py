@@ -26,9 +26,9 @@ from .runner import (CTRRunner, LeaveRankingRunner,
 
 logger = logging.getLogger(__name__)
 
-SEQ_MODELS = {"DIN", "DIEN", "CAN", "SDIM", "ClipDINRec", "ClipDIENRec",
+SEQ_MODELS = {"DIN", "DIEN", "CAN", "SDIM", "ETA", "ClipDINRec", "ClipDIENRec",
               "ClipCANRec", "SASRec", "GRU4Rec", "Caser", "NARM", "FPMC",
-              "TiSASRec", "ComiRec"}
+              "TiSASRec", "ComiRec", "ETA"}
 
 
 def build_parser():
@@ -271,7 +271,7 @@ def build_model(args, corpus, use_frames):
                    induce_vec_size=args.induce_vec_size,
                    co_action_layers=tuple(json.loads(args.co_action_layers)),
                    **seq_kwargs)
-    if name == "SDIM":
+    if name in ("SDIM", "ETA"):
         return cls(dnn_layers=dnn_layers, **seq_kwargs)
     if name in ("ClipRec", "ClipWDRec"):
         return cls(emb_dim=args.emb_size, dnn_layers=dnn_layers,

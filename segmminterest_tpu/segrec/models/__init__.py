@@ -15,7 +15,7 @@ from .finalmlp import FinalMLPModel
 from .adagin import AdaGINModel
 from .dien import DIENModel
 from .can import CANModel
-from .sdim import SDIMModel
+from .sdim import ETAModel, SDIMModel
 from .clip_variants import (ClipAdaGINModel, ClipAutoIntModel, ClipCANModel,
                             ClipDCNv2Model, ClipDIENModel, ClipFinalMLPModel)
 from .general import (BPRMFModel, DirectAUModel, LightGCNModel, NeuMFModel,
@@ -53,6 +53,7 @@ MODEL_REGISTRY = {
     "DIEN": DIENModel,
     "CAN": CANModel,
     "SDIM": SDIMModel,
+    "ETA": ETAModel,
     "ClipRec": ClipWDModel,     # reference ClipRec.py is the WideDeep variant
     "ClipWDRec": ClipWDModel,
     "ClipDCNv2Rec": ClipDCNv2Model,

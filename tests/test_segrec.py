@@ -55,7 +55,7 @@ def build_model(name, cls, use_frames):
                    dropout=0.1)
     if name == "SAM":
         return cls(FEATURES, FEATURE_MAX, emb_size=8, dropout=0.1)
-    if name in ("DIN", "DIEN", "CAN", "SDIM"):
+    if name in ("DIN", "DIEN", "CAN", "SDIM", "ETA"):
         return cls(user_features=["user_id"],
                    item_features=["item_id", "i_duration"],
                    situation_features=[], feature_max=FEATURE_MAX,
