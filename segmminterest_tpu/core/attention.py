@@ -305,14 +305,18 @@ def fused_masked_attention(q, k, v, mask_q, mask_k, *,
 
 
 # ---------------------------------------------------------------------------
-# Two-block wrapper: concat-KV attention with per-block q projections whose
-# custom VJP saves the UNCONCATENATED halves (the zero-padded doubled-dim
-# concat arrays are rebuilt on the fly in both passes). Halves the residual
-# memory of the four-stream attention relative to differentiating through the
-# concat construction.
+# Native two-block kernels: one query set, two KV blocks with DIFFERENT q
+# projections per block, one joint softmax. Earlier rounds expressed this by
+# concatenating q halves and zero-padding each key block's complementary half
+# into doubled-width HBM tensors before a single-kernel call; profiling showed
+# those concat/pad fusions + the doubled-width QK matmuls at ~25% of step
+# time. Here the blocks stay separate all the way into VMEM: block logits are
+# computed per block, normalized jointly, and nothing widened ever touches
+# HBM.
 # ---------------------------------------------------------------------------
 
 def _two_block_concat(q1, q2, k1, k2, v1, v2):
+    """Materialized equivalence construction (CPU fallback / tests only)."""
     q = jnp.concatenate([q1, q2], axis=-1)
     z1 = jnp.zeros_like(k1)
     z2 = jnp.zeros_like(k2)
@@ -323,13 +327,211 @@ def _two_block_concat(q1, q2, k1, k2, v1, v2):
     return q, k, v
 
 
+def _joint_probs(l1, l2, pair1, pair2, scale, dropout_rate, deterministic,
+                 interpret, seed_val, h):
+    """mask-fill -> dropout -> scale -> joint softmax over both blocks
+    (fp32), mirroring the single-kernel order of operations. Returns
+    (p1, p2, keep1, keep2)."""
+    l1 = jnp.where(pair1, l1, MASK_FILL_VALUE)
+    l2 = jnp.where(pair2, l2, MASK_FILL_VALUE)
+    keep1 = keep2 = None
+    if not deterministic and dropout_rate > 0:
+        keep1 = _dropout_keep(l1.shape, dropout_rate, interpret=interpret,
+                              seed_val=seed_val, salt=2 * h)
+        keep2 = _dropout_keep(l2.shape, dropout_rate, interpret=interpret,
+                              seed_val=seed_val, salt=2 * h + 1)
+        l1 = jnp.where(keep1, l1 / (1.0 - dropout_rate), 0.0)
+        l2 = jnp.where(keep2, l2 / (1.0 - dropout_rate), 0.0)
+    l1 = l1 * scale
+    l2 = l2 * scale
+    m = jnp.maximum(jnp.max(l1, axis=-1, keepdims=True),
+                    jnp.max(l2, axis=-1, keepdims=True))
+    e1 = jnp.exp(l1 - m)
+    e2 = jnp.exp(l2 - m)
+    den = e1.sum(-1, keepdims=True) + e2.sum(-1, keepdims=True)
+    return e1 / den, e2 / den, keep1, keep2
+
+
+def _fwd2_kernel(seed_ref, q1_ref, q2_ref, k1_ref, k2_ref, v1_ref, v2_ref,
+                 mq_ref, mk1_ref, mk2_ref, o_ref, *,
+                 num_heads, qk_dim, v_dim, scale, dropout_rate,
+                 deterministic, interpret):
+    b = pl.program_id(0)
+    if not deterministic and dropout_rate > 0 and not interpret:
+        pltpu.prng_seed(seed_ref[0] + b)
+    pair1 = (mq_ref[...][:, :, None] * mk1_ref[...][:, None, :]) > 0
+    pair2 = (mq_ref[...][:, :, None] * mk2_ref[...][:, None, :]) > 0
+    for h in range(num_heads):
+        sl = slice(h * qk_dim, (h + 1) * qk_dim)
+        sl_v = slice(h * v_dim, (h + 1) * v_dim)
+        dims = (((2,), (2,)), ((0,), (0,)))
+        l1 = jax.lax.dot_general(q1_ref[:, :, sl], k1_ref[:, :, sl], dims,
+                                 preferred_element_type=jnp.float32)
+        l2 = jax.lax.dot_general(q2_ref[:, :, sl], k2_ref[:, :, sl], dims,
+                                 preferred_element_type=jnp.float32)
+        p1, p2, _, _ = _joint_probs(l1, l2, pair1, pair2, scale,
+                                    dropout_rate, deterministic, interpret,
+                                    seed_ref[0] + b, h)
+        av = (((2,), (1,)), ((0,), (0,)))
+        v1_h = v1_ref[:, :, sl_v]
+        v2_h = v2_ref[:, :, sl_v]
+        o_ref[:, :, sl_v] = (
+            jax.lax.dot_general(p1.astype(v1_h.dtype), v1_h, av,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(p2.astype(v2_h.dtype), v2_h, av,
+                                  preferred_element_type=jnp.float32)
+        ).astype(o_ref.dtype)
+
+
+def _bwd2_kernel(seed_ref, q1_ref, q2_ref, k1_ref, k2_ref, v1_ref, v2_ref,
+                 mq_ref, mk1_ref, mk2_ref, g_ref,
+                 dq1_ref, dq2_ref, dk1_ref, dk2_ref, dv1_ref, dv2_ref, *,
+                 num_heads, qk_dim, v_dim, scale, dropout_rate,
+                 deterministic, interpret):
+    b = pl.program_id(0)
+    if not deterministic and dropout_rate > 0 and not interpret:
+        pltpu.prng_seed(seed_ref[0] + b)
+    pair1 = (mq_ref[...][:, :, None] * mk1_ref[...][:, None, :]) > 0
+    pair2 = (mq_ref[...][:, :, None] * mk2_ref[...][:, None, :]) > 0
+    for h in range(num_heads):
+        sl = slice(h * qk_dim, (h + 1) * qk_dim)
+        sl_v = slice(h * v_dim, (h + 1) * v_dim)
+        dims = (((2,), (2,)), ((0,), (0,)))
+        q1_h = q1_ref[:, :, sl]
+        q2_h = q2_ref[:, :, sl]
+        k1_h = k1_ref[:, :, sl]
+        k2_h = k2_ref[:, :, sl]
+        v1_h = v1_ref[:, :, sl_v]
+        v2_h = v2_ref[:, :, sl_v]
+        g_h = g_ref[:, :, sl_v].astype(jnp.float32)
+        l1 = jax.lax.dot_general(q1_h, k1_h, dims,
+                                 preferred_element_type=jnp.float32)
+        l2 = jax.lax.dot_general(q2_h, k2_h, dims,
+                                 preferred_element_type=jnp.float32)
+        # same PRNG stream as the forward: same seed, same draw order
+        p1, p2, keep1, keep2 = _joint_probs(
+            l1, l2, pair1, pair2, scale, dropout_rate, deterministic,
+            interpret, seed_ref[0] + b, h)
+
+        pt = (((1,), (1,)), ((0,), (0,)))
+        dv1_ref[:, :, sl_v] = jax.lax.dot_general(
+            p1, g_h, pt, preferred_element_type=jnp.float32
+        ).astype(dv1_ref.dtype)
+        dv2_ref[:, :, sl_v] = jax.lax.dot_general(
+            p2, g_h, pt, preferred_element_type=jnp.float32
+        ).astype(dv2_ref.dtype)
+
+        dp1 = jax.lax.dot_general(g_h, v1_h.astype(jnp.float32), dims,
+                                  preferred_element_type=jnp.float32)
+        dp2 = jax.lax.dot_general(g_h, v2_h.astype(jnp.float32), dims,
+                                  preferred_element_type=jnp.float32)
+        # joint-softmax backward: the dot term sums over BOTH blocks
+        s = (dp1 * p1).sum(-1, keepdims=True) \
+            + (dp2 * p2).sum(-1, keepdims=True)
+        dl1 = p1 * (dp1 - s) * scale
+        dl2 = p2 * (dp2 - s) * scale
+        if not deterministic and dropout_rate > 0:
+            dl1 = jnp.where(keep1, dl1 / (1.0 - dropout_rate), 0.0)
+            dl2 = jnp.where(keep2, dl2 / (1.0 - dropout_rate), 0.0)
+        dl1 = jnp.where(pair1, dl1, 0.0)
+        dl2 = jnp.where(pair2, dl2, 0.0)
+        qk = (((2,), (1,)), ((0,), (0,)))
+        dq1_ref[:, :, sl] = jax.lax.dot_general(
+            dl1, k1_h.astype(jnp.float32), qk,
+            preferred_element_type=jnp.float32).astype(dq1_ref.dtype)
+        dq2_ref[:, :, sl] = jax.lax.dot_general(
+            dl2, k2_h.astype(jnp.float32), qk,
+            preferred_element_type=jnp.float32).astype(dq2_ref.dtype)
+        dk1_ref[:, :, sl] = jax.lax.dot_general(
+            dl1, q1_h.astype(jnp.float32), pt,
+            preferred_element_type=jnp.float32).astype(dk1_ref.dtype)
+        dk2_ref[:, :, sl] = jax.lax.dot_general(
+            dl2, q2_h.astype(jnp.float32), pt,
+            preferred_element_type=jnp.float32).astype(dk2_ref.dtype)
+
+
+def _call2_fwd(q1, q2, k1, k2, v1, v2, mask_q, mask_k1, mask_k2,
+               dropout_rate, seed, deterministic, interpret, scale):
+    B, Lq, H, D = q1.shape
+    L1, L2 = k1.shape[1], k2.shape[1]
+    Dv = v1.shape[-1]
+    bt = _pick_block_b(B)
+    flat = lambda x: x.reshape(B, x.shape[1], H * x.shape[-1])
+    kernel = functools.partial(_fwd2_kernel, num_heads=H, qk_dim=D,
+                               v_dim=Dv, scale=scale,
+                               dropout_rate=dropout_rate,
+                               deterministic=deterministic,
+                               interpret=interpret)
+    b3 = lambda L, W: pl.BlockSpec((bt, L, W), lambda i, *_: (i, 0, 0))
+    b2 = lambda L: pl.BlockSpec((bt, L), lambda i, *_: (i, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // bt,),
+        in_specs=[b3(Lq, H * D), b3(Lq, H * D), b3(L1, H * D), b3(L2, H * D),
+                  b3(L1, H * Dv), b3(L2, H * Dv), b2(Lq), b2(L1), b2(L2)],
+        out_specs=b3(Lq, H * Dv),
+    )
+    out = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Lq, H * Dv), q1.dtype),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(seed, flat(q1), flat(q2), flat(k1), flat(k2), flat(v1), flat(v2),
+      mask_q.astype(jnp.int32), mask_k1.astype(jnp.int32),
+      mask_k2.astype(jnp.int32))
+    return out.reshape(B, Lq, H, Dv)
+
+
+def _call2_bwd(q1, q2, k1, k2, v1, v2, mask_q, mask_k1, mask_k2, g,
+               dropout_rate, seed, deterministic, interpret, scale):
+    B, Lq, H, D = q1.shape
+    L1, L2 = k1.shape[1], k2.shape[1]
+    Dv = v1.shape[-1]
+    bt = _pick_block_b(B)
+    flat = lambda x: x.reshape(B, x.shape[1], H * x.shape[-1])
+    kernel = functools.partial(_bwd2_kernel, num_heads=H, qk_dim=D,
+                               v_dim=Dv, scale=scale,
+                               dropout_rate=dropout_rate,
+                               deterministic=deterministic,
+                               interpret=interpret)
+    b3 = lambda L, W: pl.BlockSpec((bt, L, W), lambda i, *_: (i, 0, 0))
+    b2 = lambda L: pl.BlockSpec((bt, L), lambda i, *_: (i, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // bt,),
+        in_specs=[b3(Lq, H * D), b3(Lq, H * D), b3(L1, H * D), b3(L2, H * D),
+                  b3(L1, H * Dv), b3(L2, H * Dv), b2(Lq), b2(L1), b2(L2),
+                  b3(Lq, H * Dv)],
+        out_specs=[b3(Lq, H * D), b3(Lq, H * D), b3(L1, H * D),
+                   b3(L2, H * D), b3(L1, H * Dv), b3(L2, H * Dv)],
+    )
+    dq1, dq2, dk1, dk2, dv1, dv2 = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Lq, H * D), q1.dtype),
+            jax.ShapeDtypeStruct((B, Lq, H * D), q2.dtype),
+            jax.ShapeDtypeStruct((B, L1, H * D), k1.dtype),
+            jax.ShapeDtypeStruct((B, L2, H * D), k2.dtype),
+            jax.ShapeDtypeStruct((B, L1, H * Dv), v1.dtype),
+            jax.ShapeDtypeStruct((B, L2, H * Dv), v2.dtype),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(seed, flat(q1), flat(q2), flat(k1), flat(k2), flat(v1), flat(v2),
+      mask_q.astype(jnp.int32), mask_k1.astype(jnp.int32),
+      mask_k2.astype(jnp.int32), flat(g))
+    return (dq1.reshape(q1.shape), dq2.reshape(q2.shape),
+            dk1.reshape(k1.shape), dk2.reshape(k2.shape),
+            dv1.reshape(v1.shape), dv2.reshape(v2.shape))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
 def _fused_two_block(q1, q2, k1, k2, v1, v2, mask_q, mask_k1, mask_k2,
                      dropout_rate, deterministic, interpret, scale, seed):
-    q, k, v = _two_block_concat(q1, q2, k1, k2, v1, v2)
-    mask_k = jnp.concatenate([mask_k1, mask_k2], axis=1)
-    return _call_fwd(q, k, v, mask_q, mask_k, dropout_rate, seed,
-                     deterministic, interpret, scale)
+    return _call2_fwd(q1, q2, k1, k2, v1, v2, mask_q, mask_k1, mask_k2,
+                      dropout_rate, seed, deterministic, interpret, scale)
 
 
 def _two_block_fwd(q1, q2, k1, k2, v1, v2, mask_q, mask_k1, mask_k2,
@@ -342,16 +544,9 @@ def _two_block_fwd(q1, q2, k1, k2, v1, v2, mask_q, mask_k1, mask_k2,
 
 def _two_block_bwd(dropout_rate, deterministic, interpret, scale, res, g):
     q1, q2, k1, k2, v1, v2, mask_q, mask_k1, mask_k2, seed = res
-    q, k, v = _two_block_concat(q1, q2, k1, k2, v1, v2)
-    mask_k = jnp.concatenate([mask_k1, mask_k2], axis=1)
-    dq, dk, dv = _call_bwd(q, k, v, mask_q, mask_k, g, dropout_rate, seed,
-                           deterministic, interpret, scale)
-    D = q1.shape[-1]
-    L1 = k1.shape[1]
-    dq1, dq2 = dq[..., :D], dq[..., D:]
-    dk1 = dk[:, :L1, :, :D]
-    dk2 = dk[:, L1:, :, D:]
-    dv1, dv2 = dv[:, :L1], dv[:, L1:]
+    dq1, dq2, dk1, dk2, dv1, dv2 = _call2_bwd(
+        q1, q2, k1, k2, v1, v2, mask_q, mask_k1, mask_k2, g,
+        dropout_rate, seed, deterministic, interpret, scale)
     f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
     return (dq1, dq2, dk1, dk2, dv1, dv2,
             f0(mask_q), f0(mask_k1), f0(mask_k2), f0(seed))
