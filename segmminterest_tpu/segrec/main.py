@@ -59,6 +59,7 @@ def build_parser():
     p.add_argument("--history_max", type=int, default=20)
     p.add_argument("--time_max", type=int, default=512,
                    help="TiSASRec max time-interval buckets")
+    p.add_argument("--buir_momentum", type=float, default=0.995)
     p.add_argument("--comirec_attn_size", type=int, default=8)
     p.add_argument("--comirec_k", type=int, default=2)
     p.add_argument("--comirec_add_pos", type=int, default=1)
@@ -162,6 +163,9 @@ def build_model(args, corpus, use_frames):
     if name in ("BPRMF", "DirectAU"):
         return cls(user_num=corpus.n_users, item_num=corpus.n_items,
                    emb_size=args.emb_size)
+    if name == "BUIR":
+        return cls(user_num=corpus.n_users, item_num=corpus.n_items,
+                   emb_size=args.emb_size, momentum=args.buir_momentum)
     if name == "NeuMF":
         return cls(user_num=corpus.n_users, item_num=corpus.n_items,
                    emb_size=args.emb_size, layers=layers,
@@ -359,7 +363,9 @@ def main(argv=None):
         topk=tuple(int(x) for x in args.topk.split(",")),
         metrics=tuple(m.strip().upper() for m in metrics.split(",")),
         main_metric=args.main_metric,
-        loss_n=args.loss_n or ("BCE" if task == "ctr" else "BPR"),
+        loss_n=args.loss_n or (
+            "BCE" if task == "ctr"
+            else "BUIR" if args.model_name == "BUIR" else "BPR"),
         auxillary_loss_weight=args.auxillary_loss_weight,
         seed=args.random_seed)
     mesh = None

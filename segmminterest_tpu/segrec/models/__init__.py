@@ -18,8 +18,8 @@ from .can import CANModel
 from .sdim import ETAModel, SDIMModel
 from .clip_variants import (ClipAdaGINModel, ClipAutoIntModel, ClipCANModel,
                             ClipDCNv2Model, ClipDIENModel, ClipFinalMLPModel)
-from .general import (BPRMFModel, DirectAUModel, LightGCNModel, NeuMFModel,
-                      POPModel)
+from .general import (BPRMFModel, BUIRModel, DirectAUModel, LightGCNModel,
+                      NeuMFModel, POPModel)
 from .sequential import (CaserModel, ComiRecModel, FPMCModel, GRU4RecModel,
                          NARMModel, SASRecModel, TiSASRecModel)
 from .deepfm import AFMModel, DeepFMModel, XDeepFMModel
@@ -27,6 +27,7 @@ from .sam import SAMModel
 
 MODEL_REGISTRY = {
     "BPRMF": BPRMFModel,
+    "BUIR": BUIRModel,
     "NeuMF": NeuMFModel,
     "LightGCN": LightGCNModel,
     "DirectAU": DirectAUModel,

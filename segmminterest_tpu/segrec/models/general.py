@@ -166,3 +166,70 @@ class POPModel(nn.Module):
         _ = self.param("dummy", nn.initializers.zeros, (1,))
         pop = jnp.asarray(self.popularity)
         return pop[feed["item_id"].astype(jnp.int32)]
+
+
+class BUIRModel(nn.Module):
+    """BUIR (general/BUIR.py): bootstrapped user/item representations —
+    online + momentum-target embedding tables and a shared predictor.
+
+    prediction = predictor(i_on)·u_on + predictor(u_on)·i_on (:77-80).
+    Training (runner loss_n='BUIR'): symmetric 2 - 2·cos between online
+    predictions and stop-gradient targets (:101-114); no negative sampling
+    is needed (sampled negatives, if present, are simply unused). After
+    every optimizer step the runner applies the momentum update
+    t <- m·t + (1-m)·o (:66-71 via BUIRRunner)."""
+    user_num: int
+    item_num: int
+    emb_size: int = 64
+    momentum: float = 0.995
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feed, *, deterministic: bool = True):
+        uid = feed["user_id"].astype(jnp.int32)
+        iid = feed["item_id"].astype(jnp.int32)
+        u_on = embed(self.user_num, self.emb_size, "user_online",
+                     self.dtype)(uid)
+        i_on = embed(self.item_num, self.emb_size, "item_online",
+                     self.dtype)(iid)
+        # target tables exist as (gradient-free) params so checkpoints carry
+        # them; they must be CALLED for flax to materialize them (lazy init)
+        jax.lax.stop_gradient(
+            embed(self.user_num, self.emb_size, "user_target",
+                  self.dtype)(uid))
+        jax.lax.stop_gradient(
+            embed(self.item_num, self.emb_size, "item_target",
+                  self.dtype)(iid))
+        pred = dense(self.emb_size, "predictor", dtype=self.dtype)
+        return (pred(i_on) * u_on[:, None, :]).sum(-1) \
+            + (pred(u_on)[:, None, :] * i_on).sum(-1)
+
+    @staticmethod
+    def buir_loss(params, user_id, item0_id, row_mask, dtype=jnp.float32):
+        """Symmetric bootstrap loss over the first (positive) candidate."""
+        def norm(x):
+            return x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
+
+        w = params["predictor"]["kernel"].astype(dtype)
+        b = params["predictor"]["bias"].astype(dtype)
+        u_on = params["user_online"]["embedding"][user_id] @ w + b
+        i_on = params["item_online"]["embedding"][item0_id] @ w + b
+        u_t = jax.lax.stop_gradient(
+            params["user_target"]["embedding"][user_id])
+        i_t = jax.lax.stop_gradient(
+            params["item_target"]["embedding"][item0_id])
+        loss_ui = 2 - 2 * (norm(u_on) * norm(i_t)).sum(-1)
+        loss_iu = 2 - 2 * (norm(i_on) * norm(u_t)).sum(-1)
+        n = jnp.maximum(row_mask.sum(), 1)
+        return ((loss_ui + loss_iu) * row_mask).sum() / n
+
+    @staticmethod
+    def momentum_update(params, momentum: float):
+        """t <- m·t + (1-m)·o for both target tables (BUIR.py:66-71)."""
+        params = dict(params)
+        for side in ("user", "item"):
+            o = params[f"{side}_online"]["embedding"]
+            t = params[f"{side}_target"]["embedding"]
+            params[f"{side}_target"] = {
+                "embedding": momentum * t + (1 - momentum) * o}
+        return params

@@ -233,6 +233,11 @@ class RankingRunner:
         else:
             self._jit_train = jax.jit(self._train_step, donate_argnums=(0,))
             self._jit_eval = jax.jit(self._eval_step)
+        self._momentum_update = None
+        if hasattr(type(model), "momentum_update"):
+            # BUIR-style target-network EMA applied after every step
+            self._momentum_update = jax.jit(
+                lambda p: type(model).momentum_update(p, model.momentum))
         self.state = None
 
     # ------------------------------------------------------------------
@@ -259,6 +264,13 @@ class RankingRunner:
             # (BaseRunner.py:199-208)
             predictions = jnp.take_along_axis(predictions,
                                               batch["unshuffle"], axis=1)
+        if self.cfg.loss_n == "BUIR" and params is not None:
+            # bootstrap loss over online/target tables (general/BUIR.py:101-114)
+            from .models.general import BUIRModel
+            return BUIRModel.buir_loss(
+                params, batch["user_id"].astype(jnp.int32),
+                batch["item_id"][:, 0].astype(jnp.int32),
+                batch["row_mask"].astype(jnp.float32))
         if self.cfg.loss_n == "DirectAU" and params is not None:
             # alignment/uniformity over the MF embeddings
             # (general/DirectAU.py)
@@ -362,6 +374,10 @@ class RankingRunner:
             rng = jax.random.PRNGKey(
                 int(self.rng.integers(0, 2 ** 31 - 1)))
             state, loss = self._jit_train(state, _device_feed(feed_s), rng)
+            if self._momentum_update is not None:
+                # BUIR target-network EMA after every step (BUIRRunner)
+                state = dict(state)
+                state["params"] = self._momentum_update(state["params"])
             losses.append(float(loss))
         return state, float(np.mean(losses)) if losses else float("nan")
 

@@ -26,7 +26,7 @@ def seq_feed(rng, B=4, I=3, L=6):
 
 def build(name, rng):
     cls = MODEL_REGISTRY[name]
-    if name in ("BPRMF", "DirectAU", "NeuMF"):
+    if name in ("BPRMF", "DirectAU", "NeuMF", "BUIR"):
         return cls(user_num=N_USERS, item_num=N_ITEMS, emb_size=8)
     if name == "LightGCN":
         return cls(user_num=N_USERS, item_num=N_ITEMS,
@@ -57,7 +57,8 @@ def build(name, rng):
 
 @pytest.mark.parametrize("name", ["BPRMF", "NeuMF", "LightGCN", "DirectAU",
                                   "POP", "SASRec", "GRU4Rec", "Caser",
-                                  "NARM", "FPMC", "TiSASRec", "ComiRec"])
+                                  "NARM", "FPMC", "TiSASRec", "ComiRec",
+                                  "BUIR"])
 def test_baseline_forward(rng, name):
     model = build(name, rng)
     feed = {k: jnp.asarray(v) for k, v in seq_feed(rng).items()}
@@ -76,6 +77,34 @@ def test_directau_loss_properties(rng):
     loss_random = DirectAUModel.direct_au_loss(u, i, jnp.ones(16), 1.0)
     # perfect alignment has zero alignment term -> lower loss
     assert float(loss_aligned) < float(loss_random)
+
+
+def test_buir_momentum_and_loss(rng):
+    """BUIR target EMA (BUIR.py:66-71) + bootstrap loss decreases target
+    distance for aligned online/target tables."""
+    import jax
+    import jax.numpy as jnp
+    from segmminterest_tpu.segrec.models.general import BUIRModel
+    model = MODEL_REGISTRY["BUIR"](user_num=N_USERS, item_num=N_ITEMS,
+                                   emb_size=8)
+    feed = {k: jnp.asarray(v) for k, v in seq_feed(rng).items()}
+    params = model.init({"params": jax.random.PRNGKey(0)}, feed,
+                        deterministic=True)["params"]
+    upd = BUIRModel.momentum_update(params, 0.9)
+    want = 0.9 * params["user_target"]["embedding"]         + 0.1 * params["user_online"]["embedding"]
+    np.testing.assert_allclose(np.asarray(upd["user_target"]["embedding"]),
+                               np.asarray(want), rtol=1e-6)
+    loss = BUIRModel.buir_loss(params,
+                               feed["user_id"].astype(jnp.int32),
+                               feed["item_id"][:, 0].astype(jnp.int32),
+                               jnp.ones(4))
+    assert np.isfinite(float(loss)) and 0 <= float(loss) <= 4.0
+    # gradients must not touch the target tables (requires_grad=False)
+    g = jax.grad(lambda p: BUIRModel.buir_loss(
+        p, feed["user_id"].astype(jnp.int32),
+        feed["item_id"][:, 0].astype(jnp.int32), jnp.ones(4)))(params)
+    assert float(jnp.abs(g["user_target"]["embedding"]).max()) == 0.0
+    assert float(jnp.abs(g["user_online"]["embedding"]).max()) > 0.0
 
 
 def test_pop_scores_are_popularity(rng):
