@@ -76,6 +76,8 @@ class FeedBuilder:
                  num_neg: int = 1, history_max: int = 20,
                  include_history: bool = False,
                  neg_history: bool = False,
+                 augment_history: bool = False,
+                 beta_a: int = 3, beta_b: int = 3,
                  test_all: bool = False,
                  clip_weights: Optional[ClipWeights] = None,
                  feature_store=None, seed: int = 0):
@@ -86,6 +88,8 @@ class FeedBuilder:
         self.history_max = history_max
         self.include_history = include_history
         self.neg_history = neg_history
+        self.augment_history = augment_history
+        self.beta_a, self.beta_b = beta_a, beta_b
         self.test_all = test_all
         self.hist_neg = None
         self.clip_weights = clip_weights
@@ -149,6 +153,23 @@ class FeedBuilder:
                 for f in corpus.situation_feature_names:
                     vals = corpus.user_his_situs[f][int(self.user_id[r])]
                     self.hist_situs[f][r, :len(items)] = vals[lo:pos]
+
+    def _augment_seq(self, seq):
+        """ContraRec.py:108-124 mask_op/reorder_op, beta(a,b)-sampled extent."""
+        n = len(seq)
+        ratio = self.rng.beta(self.beta_a, self.beta_b)
+        sel = int(n * ratio)
+        if self.rng.random() > 0.5:
+            keep = np.zeros(n, bool)
+            keep[:sel] = True
+            self.rng.shuffle(keep)
+            out = seq.copy()
+            out[keep] = self.corpus.n_items  # mask token
+            return out
+        start = int(self.rng.integers(0, n - sel + 1))
+        idx2 = np.arange(n)
+        self.rng.shuffle(idx2[start:start + sel])
+        return seq[idx2]
 
     def __len__(self) -> int:
         return len(self.user_id)
@@ -255,6 +276,17 @@ class FeedBuilder:
             feed["history_item_id"] = pad(self.hist_items[idx])
             feed["history_times"] = pad(self.hist_times[idx])
             feed["lengths"] = pad(self.hist_len[idx])
+            if self.augment_history and self.phase == "train":
+                # two augmented history views per row (ContraRec
+                # Dataset.augment: mask-op or reorder-op over the real slots,
+                # beta-sampled extent; mask token id == n_items)
+                for key in ("history_item_id_a", "history_item_id_b"):
+                    aug = self.hist_items[idx].copy()
+                    for r2 in range(n_real):
+                        m2 = int(self.hist_len[idx][r2])
+                        if m2 > 0:
+                            aug[r2, :m2] = self._augment_seq(aug[r2, :m2])
+                    feed[key] = pad(aug)
             feed["user_min_intervals"] = pad(
                 self.user_min_interval[self.user_id[idx]])
             # historical item features (ContextSeqCTRModel.Dataset,

@@ -28,7 +28,7 @@ logger = logging.getLogger(__name__)
 
 SEQ_MODELS = {"DIN", "DIEN", "CAN", "SDIM", "ETA", "ClipDINRec", "ClipDIENRec",
               "ClipCANRec", "SASRec", "GRU4Rec", "Caser", "NARM", "FPMC",
-              "TiSASRec", "ComiRec", "ETA"}
+              "TiSASRec", "ComiRec", "ETA", "ContraRec"}
 
 
 def build_parser():
@@ -60,6 +60,12 @@ def build_parser():
     p.add_argument("--time_max", type=int, default=512,
                    help="TiSASRec max time-interval buckets")
     p.add_argument("--buir_momentum", type=float, default=0.995)
+    p.add_argument("--contrarec_encoder", type=str, default="BERT4Rec")
+    p.add_argument("--contrarec_gamma", type=float, default=1.0)
+    p.add_argument("--ctc_temp", type=float, default=1.0)
+    p.add_argument("--ccc_temp", type=float, default=0.2)
+    p.add_argument("--beta_a", type=int, default=3)
+    p.add_argument("--beta_b", type=int, default=3)
     p.add_argument("--comirec_attn_size", type=int, default=8)
     p.add_argument("--comirec_k", type=int, default=2)
     p.add_argument("--comirec_add_pos", type=int, default=1)
@@ -192,6 +198,11 @@ def build_model(args, corpus, use_frames):
         return cls(user_num=corpus.n_users, item_num=corpus.n_items,
                    emb_size=args.emb_size, history_max=args.history_max,
                    time_max=args.time_max, dropout=args.dropout)
+    if name == "ContraRec":
+        return cls(user_num=corpus.n_users, item_num=corpus.n_items,
+                   emb_size=args.emb_size, encoder=args.contrarec_encoder,
+                   history_max=args.history_max, gamma=args.contrarec_gamma,
+                   ccc_temp=args.ccc_temp, dropout=args.dropout)
     if name == "ComiRec":
         return cls(user_num=corpus.n_users, item_num=corpus.n_items,
                    emb_size=args.emb_size, history_max=args.history_max,
@@ -346,6 +357,8 @@ def main(argv=None):
             corpus, phase, task=task, num_neg=args.num_neg,
             history_max=args.history_max, include_history=include_history,
             neg_history=(args.alpha_aux > 0 and include_history),
+            augment_history=(args.model_name == "ContraRec"),
+            beta_a=args.beta_a, beta_b=args.beta_b,
             test_all=bool(args.test_all) and phase != "train"
             and task == "ranking",
             clip_weights=clip_weights, feature_store=store,
@@ -365,7 +378,9 @@ def main(argv=None):
         main_metric=args.main_metric,
         loss_n=args.loss_n or (
             "BCE" if task == "ctr"
-            else "BUIR" if args.model_name == "BUIR" else "BPR"),
+            else "BUIR" if args.model_name == "BUIR"
+            else "ContraRec" if args.model_name == "ContraRec" else "BPR"),
+        ctc_temp=args.ctc_temp,
         auxillary_loss_weight=args.auxillary_loss_weight,
         seed=args.random_seed)
     mesh = None

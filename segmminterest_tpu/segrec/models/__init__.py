@@ -20,8 +20,9 @@ from .clip_variants import (ClipAdaGINModel, ClipAutoIntModel, ClipCANModel,
                             ClipDCNv2Model, ClipDIENModel, ClipFinalMLPModel)
 from .general import (BPRMFModel, BUIRModel, DirectAUModel, LightGCNModel,
                       NeuMFModel, POPModel)
-from .sequential import (CaserModel, ComiRecModel, FPMCModel, GRU4RecModel,
-                         NARMModel, SASRecModel, TiSASRecModel)
+from .sequential import (CaserModel, ComiRecModel, ContraRecModel,
+                         FPMCModel, GRU4RecModel, NARMModel, SASRecModel,
+                         TiSASRecModel)
 from .deepfm import AFMModel, DeepFMModel, XDeepFMModel
 from .sam import SAMModel
 
@@ -39,6 +40,7 @@ MODEL_REGISTRY = {
     "FPMC": FPMCModel,
     "TiSASRec": TiSASRecModel,
     "ComiRec": ComiRecModel,
+    "ContraRec": ContraRecModel,
     "FM": FMModel,
     "WideDeep": WideDeepModel,
     "DeepFM": DeepFMModel,

@@ -380,3 +380,101 @@ class ComiRecModel(nn.Module):
             return (user_vector[:, None, :] * i_vectors).sum(-1)
         scores = (interests[:, None, :, :] * i_vectors[:, :, None, :]).sum(-1)
         return scores.max(-1)
+
+
+class ContraRecModel(nn.Module):
+    """ContraRec (sequential/ContraRec.py): a sequence encoder trained with
+    context-target contrastive loss (runner loss_n='ContraRec': temperature
+    softmax over candidates) plus a context-context SupCon loss over two
+    augmented views of the history (:85-106). The augmented views
+    (mask/reorder, Dataset.augment :108-135) arrive in the feed as
+    history_item_id_{a,b}; the CCC loss is computed in-forward over the full
+    batch and sown pre-weighted by gamma into the 'losses' collection.
+    Encoders: BERT4Rec (bidirectional transformer, :250-276), GRU4Rec,
+    Caser-lite. The item table has one extra row — the mask token id equals
+    item_num."""
+    user_num: int
+    item_num: int
+    emb_size: int = 64
+    encoder: str = "BERT4Rec"   # BERT4Rec | GRU4Rec
+    num_layers: int = 2
+    num_heads: int = 2
+    history_max: int = 20
+    gamma: float = 1.0
+    ccc_temp: float = 0.2
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feed, *, deterministic: bool = True):
+        i_embeddings = embed(self.item_num + 1, self.emb_size,
+                             "i_embeddings", self.dtype)
+        lengths = feed["lengths"].astype(jnp.int32)
+        i_ids = feed["item_id"].astype(jnp.int32)
+
+        # construct encoder submodules ONCE; the same encoder is applied to
+        # the raw history and (in training) both augmented views
+        if self.encoder == "GRU4Rec":
+            rnn = MaskedGRU(128, dtype=self.dtype, name="rnn")
+            enc_out = dense(self.emb_size, "enc_out", use_bias=False,
+                            dtype=self.dtype)
+
+            def encode(his):
+                _, last_h = rnn(his, lengths)
+                return enc_out(last_h)
+        else:   # BERT4Rec (ContraRec.py:250-276)
+            p_emb = embed(self.history_max + 1, self.emb_size,
+                          "p_embeddings", self.dtype)
+            blocks = [_TransformerBlock(self.emb_size, self.emb_size,
+                                        self.num_heads, self.dropout,
+                                        dtype=self.dtype, name=f"block_{b}")
+                      for b in range(self.num_layers)]
+
+            def encode(his):
+                B, L, E = his.shape
+                valid = jnp.arange(L)[None, :] < lengths[:, None]
+                position = jnp.arange(L)[None, :] * valid.astype(jnp.int32)
+                x = his + p_emb(position)
+                attn_mask = valid[:, None, None, :]
+                for block in blocks:
+                    x = block(x, attn_mask, deterministic=True)
+                x = x * valid[:, :, None].astype(x.dtype)
+                idx = jnp.clip(lengths - 1, 0, L - 1)
+                return jnp.take_along_axis(
+                    x, idx[:, None, None].repeat(E, 2), axis=1)[:, 0]
+
+        his_vector = encode(
+            i_embeddings(feed["history_item_id"].astype(jnp.int32)))
+        i_vectors = i_embeddings(i_ids)
+        prediction = (his_vector[:, None, :] * i_vectors).sum(-1)
+
+        if "history_item_id_a" in feed and not deterministic:
+            feats = []
+            for key in ("history_item_id_a", "history_item_id_b"):
+                v = encode(i_embeddings(feed[key].astype(jnp.int32)))
+                feats.append(v / (jnp.linalg.norm(v, axis=-1, keepdims=True)
+                                  + 1e-12))
+            ccc = self._contra_loss(jnp.stack(feats, 1), i_ids[:, 0],
+                                    feed["row_mask"].astype(self.dtype))
+            self.sow("losses", "contrarec_ccc", self.gamma * ccc)
+        return prediction
+
+    def _contra_loss(self, features, labels, row_mask):
+        """SupCon over two views (ContraLoss :141-193); padded rows excluded
+        from anchors, positives, AND the denominator."""
+        B = features.shape[0]
+        pos_mask = (labels[:, None] == labels[None, :]).astype(self.dtype)
+        pos_mask = jnp.tile(pos_mask, (2, 2))
+        feats = jnp.concatenate([features[:, 0], features[:, 1]], axis=0)
+        logits = feats @ feats.T / self.ccc_temp
+        logits = logits - jax.lax.stop_gradient(logits.max(1, keepdims=True))
+        rm2 = jnp.tile(row_mask, 2)
+        valid_pair = rm2[:, None] * rm2[None, :]
+        self_mask = 1.0 - jnp.eye(2 * B, dtype=self.dtype)
+        logits_mask = self_mask * valid_pair
+        pos_mask = pos_mask * logits_mask
+        exp_logits = jnp.exp(logits) * logits_mask
+        log_prob = logits - jnp.log(exp_logits.sum(1, keepdims=True) + 1e-10)
+        mean_log_prob = (pos_mask * log_prob).sum(1) / (pos_mask.sum(1) + 1e-10)
+        n = jnp.maximum(rm2.sum(), 1)
+        return -self.ccc_temp * (mean_log_prob * rm2).sum() / n

@@ -52,6 +52,7 @@ class RunnerConfig:
     main_metric: str = ""
     loss_n: str = "BPR"          # BPR | BCE | DirectAU (ranking); BCE | MSE (ctr)
     directau_gamma: float = 1.0
+    ctc_temp: float = 1.0        # ContraRec context-target temperature
     auxillary_loss_weight: float = 0.0
     seed: int = 0
     test_epoch: int = -1
@@ -264,6 +265,15 @@ class RankingRunner:
             # (BaseRunner.py:199-208)
             predictions = jnp.take_along_axis(predictions,
                                               batch["unshuffle"], axis=1)
+        if self.cfg.loss_n == "ContraRec":
+            # context-target contrastive: temperature softmax over the
+            # candidate axis, NLL of column 0 (ContraRec.py:101-105); the
+            # context-context term arrives via the sown 'losses' collection
+            p = jax.nn.softmax(predictions / self.cfg.ctc_temp, axis=1)
+            per_row = -self.cfg.ctc_temp * jnp.log(
+                jnp.clip(p[:, 0], 1e-12, 1.0))
+            rm = batch["row_mask"].astype(jnp.float32)
+            return (per_row * rm).sum() / jnp.maximum(rm.sum(), 1)
         if self.cfg.loss_n == "BUIR" and params is not None:
             # bootstrap loss over online/target tables (general/BUIR.py:101-114)
             from .models.general import BUIRModel

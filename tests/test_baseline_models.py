@@ -52,13 +52,16 @@ def build(name, rng):
     if name == "ComiRec":
         return cls(user_num=N_USERS, item_num=N_ITEMS, emb_size=8,
                    attn_size=4, K=2, history_max=6)
+    if name == "ContraRec":
+        return cls(user_num=N_USERS, item_num=N_ITEMS, emb_size=8,
+                   num_heads=2, history_max=6)
     raise ValueError(name)
 
 
 @pytest.mark.parametrize("name", ["BPRMF", "NeuMF", "LightGCN", "DirectAU",
                                   "POP", "SASRec", "GRU4Rec", "Caser",
                                   "NARM", "FPMC", "TiSASRec", "ComiRec",
-                                  "BUIR"])
+                                  "BUIR", "ContraRec"])
 def test_baseline_forward(rng, name):
     model = build(name, rng)
     feed = {k: jnp.asarray(v) for k, v in seq_feed(rng).items()}
