@@ -28,7 +28,7 @@ logger = logging.getLogger(__name__)
 
 SEQ_MODELS = {"DIN", "DIEN", "CAN", "SDIM", "ETA", "ClipDINRec", "ClipDIENRec",
               "ClipCANRec", "SASRec", "GRU4Rec", "Caser", "NARM", "FPMC",
-              "TiSASRec", "ComiRec", "ETA", "ContraRec"}
+              "TiSASRec", "ComiRec", "ETA", "ContraRec", "TiMiRec"}
 
 
 def build_parser():
@@ -60,6 +60,20 @@ def build_parser():
     p.add_argument("--time_max", type=int, default=512,
                    help="TiSASRec max time-interval buckets")
     p.add_argument("--buir_momentum", type=float, default=0.995)
+    p.add_argument("--model_path", type=str, default="",
+                   help="save the best params here after training (msgpack) "
+                        "and/or load from here (--load 1), like ReChorus "
+                        "BaseModel.save_model/load_model")
+    p.add_argument("--load", type=int, default=0,
+                   help="initialize from --model_path before training "
+                        "(missing file -> train from scratch)")
+    p.add_argument("--train", type=int, default=1,
+                   help="0: skip training and evaluate the loaded model "
+                        "(ReChorus main.py --train 0)")
+    p.add_argument("--timirec_stage", type=str, default="finetune",
+                   choices=["pretrain", "finetune"])
+    p.add_argument("--timirec_temp", type=float, default=1.0)
+    p.add_argument("--timirec_n_layers", type=int, default=1)
     p.add_argument("--contrarec_encoder", type=str, default="BERT4Rec")
     p.add_argument("--contrarec_gamma", type=float, default=1.0)
     p.add_argument("--ctc_temp", type=float, default=1.0)
@@ -203,6 +217,13 @@ def build_model(args, corpus, use_frames):
                    emb_size=args.emb_size, encoder=args.contrarec_encoder,
                    history_max=args.history_max, gamma=args.contrarec_gamma,
                    ccc_temp=args.ccc_temp, dropout=args.dropout)
+    if name == "TiMiRec":
+        return cls(user_num=corpus.n_users, item_num=corpus.n_items,
+                   emb_size=args.emb_size, history_max=args.history_max,
+                   attn_size=args.comirec_attn_size, K=args.comirec_k,
+                   add_pos=bool(args.comirec_add_pos),
+                   temp=args.timirec_temp, n_layers=args.timirec_n_layers,
+                   stage=args.timirec_stage, dropout=args.dropout)
     if name == "ComiRec":
         return cls(user_num=corpus.n_users, item_num=corpus.n_items,
                    emb_size=args.emb_size, history_max=args.history_max,
@@ -401,7 +422,12 @@ def main(argv=None):
     else:
         runner = RankingRunner(model, cfg, feat_table=feat_table, mesh=mesh)
 
-    best_state, history = runner.train(builders)
+    best_state, history = runner.train(
+        builders,
+        init_path=args.model_path if (args.load or not args.train) else "",
+        do_train=bool(args.train))
+    if args.model_path and args.train:
+        runner.save_state(best_state, args.model_path)
     dev_res = runner.evaluate(builders["dev"], best_state)
     test_res = runner.evaluate(builders["test"], best_state)
     logger.info("Dev  After Training: %s", dev_res)

@@ -22,7 +22,7 @@ from .general import (BPRMFModel, BUIRModel, DirectAUModel, LightGCNModel,
                       NeuMFModel, POPModel)
 from .sequential import (CaserModel, ComiRecModel, ContraRecModel,
                          FPMCModel, GRU4RecModel, NARMModel, SASRecModel,
-                         TiSASRecModel)
+                         TiMiRecModel, TiSASRecModel)
 from .deepfm import AFMModel, DeepFMModel, XDeepFMModel
 from .sam import SAMModel
 
@@ -41,6 +41,7 @@ MODEL_REGISTRY = {
     "TiSASRec": TiSASRecModel,
     "ComiRec": ComiRecModel,
     "ContraRec": ContraRecModel,
+    "TiMiRec": TiMiRecModel,
     "FM": FMModel,
     "WideDeep": WideDeepModel,
     "DeepFM": DeepFMModel,

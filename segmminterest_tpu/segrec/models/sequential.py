@@ -478,3 +478,108 @@ class ContraRecModel(nn.Module):
         mean_log_prob = (pos_mask * log_prob).sum(1) / (pos_mask.sum(1) + 1e-10)
         n = jnp.maximum(rm2.sum(), 1)
         return -self.ccc_temp * (mean_log_prob * rm2).sum() / n
+
+
+class TiMiRecModel(nn.Module):
+    """TiMiRec (sequential/TiMiRec.py): target-interest distillation.
+
+    stage='pretrain': the multi-interest extractor alone (ComiRec-style K
+    attention heads, optional position embedding and transformer layer),
+    trained/evaluated exactly like ComiRec (:116-127).
+    stage='finetune': a GRU interest predictor + projection produce
+    pred_intent (bsz, K); the user vector is the pred_intent-softmax blend of
+    the extractor's interests (:128-143), and a KL distillation loss between
+    pred_intent and the (stop-gradient) cosine target_intent — scaled by
+    temp^2 — is sown into 'losses' (:146-157). The pretrained extractor loads
+    via the runner's partial load (--model_path + --load 1)."""
+    user_num: int
+    item_num: int
+    emb_size: int = 64
+    attn_size: int = 8
+    K: int = 2
+    add_pos: bool = True
+    add_trm: bool = True
+    temp: float = 1.0
+    n_layers: int = 1
+    stage: str = "finetune"     # pretrain | finetune
+    history_max: int = 20
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feed, *, deterministic: bool = True):
+        history = feed["history_item_id"].astype(jnp.int32)
+        lengths = feed["lengths"].astype(jnp.int32)
+        i_ids = feed["item_id"].astype(jnp.int32)
+        B, L = history.shape
+        valid_his = (history > 0).astype(jnp.int32)
+
+        # ---- MultiInterestExtractor (:163-199) ----
+        i_embeddings = embed(self.item_num, self.emb_size, "i_embeddings",
+                             self.dtype)
+        his = i_embeddings(history)
+        if self.add_pos:
+            position = (lengths[:, None] - jnp.arange(L)[None, :]) * valid_his
+            his = his + embed(self.history_max + 1, self.emb_size,
+                              "p_embeddings", self.dtype)(
+                jnp.clip(position, 0, self.history_max))
+        if self.add_trm:
+            his = _TransformerBlock(self.emb_size, self.emb_size, 1,
+                                    self.dropout, dtype=self.dtype,
+                                    name="transformer")(
+                his, valid_his[:, None, None, :].astype(bool),
+                deterministic=deterministic)
+            his = his * valid_his[:, :, None].astype(his.dtype)
+        attn = dense(self.K, "W2", dtype=self.dtype)(
+            jnp.tanh(dense(self.attn_size, "W1", dtype=self.dtype)(his)))
+        attn = jnp.where(valid_his[..., None] == 0, -jnp.inf, attn)
+        attn = attn.swapaxes(-1, -2)
+        attn = jax.nn.softmax(attn.astype(jnp.float32),
+                              axis=-1).astype(his.dtype)
+        attn = jnp.where(jnp.isnan(attn), 0.0, attn)
+        interests = (his[:, None, :, :] * attn[..., None]).sum(-2)  # (B,K,E)
+
+        i_vectors = i_embeddings(i_ids)
+        if self.stage == "pretrain":
+            if not deterministic:   # ComiRec-style target-selected interest
+                target = i_vectors[:, 0]
+                sel = jnp.argmax((interests * target[:, None, :]).sum(-1), -1)
+                user_vector = jnp.take_along_axis(
+                    interests, sel[:, None, None].repeat(self.emb_size, 2),
+                    axis=1)[:, 0]
+                return (user_vector[:, None, :] * i_vectors).sum(-1)
+            scores = (interests[:, None, :, :]
+                      * i_vectors[:, :, None, :]).sum(-1)
+            return scores.max(-1)
+
+        # ---- finetune: InterestPredictor + proj (:128-143) ----
+        pred_emb = embed(self.item_num + 1, self.emb_size,
+                         "predictor_i_embeddings", self.dtype)(history)
+        _, his_vector = MaskedGRU(self.emb_size, dtype=self.dtype,
+                                  name="predictor_rnn")(pred_emb, lengths)
+        x = his_vector
+        drop = nn.Dropout(0.5)
+        for i in range(self.n_layers - 1):
+            x = nn.relu(drop(dense(self.emb_size, f"proj_{i}",
+                                   dtype=self.dtype)(x),
+                             deterministic=deterministic))
+        pred_intent = dense(self.K, "proj_final", dtype=self.dtype)(x)
+
+        if not deterministic:
+            def norm(t):
+                return t / (jnp.linalg.norm(t, axis=-1, keepdims=True)
+                            + 1e-12)
+            target_intent = (norm(interests)
+                             * norm(i_vectors[:, 0])[:, None, :]).sum(-1)
+            # KL(pred || target) * temp^2, batchmean (:146-157)
+            p_log = jax.nn.log_softmax(pred_intent / self.temp, axis=1)
+            q = jax.nn.softmax(
+                jax.lax.stop_gradient(target_intent) / self.temp, axis=1)
+            rm = feed["row_mask"].astype(jnp.float32)
+            kl = (q * (jnp.log(jnp.clip(q, 1e-12, 1.0)) - p_log)).sum(1)
+            kl = (kl * rm).sum() / jnp.maximum(rm.sum(), 1)
+            self.sow("losses", "timirec_kl", self.temp * self.temp * kl)
+
+        user_vector = (interests
+                       * jax.nn.softmax(pred_intent, -1)[:, :, None]).sum(-2)
+        return (user_vector[:, None, :] * i_vectors).sum(-1)

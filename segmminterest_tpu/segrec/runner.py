@@ -424,7 +424,48 @@ class RankingRunner:
                 return True
         return len(criterion) - criterion.index(max(criterion)) > patience
 
-    def train(self, builders: Dict[str, FeedBuilder]):
+    def save_state(self, state, path: str):
+        """Serialize params (msgpack) — ReChorus BaseModel.save_model."""
+        import os
+        from flax import serialization
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(
+                jax.tree.map(np.asarray, state["params"])))
+        logger.info("Save model to %s", path)
+
+    def load_state(self, state, path: str, partial: bool = False):
+        """Restore params; with ``partial`` only keys present in BOTH trees
+        are taken (ReChorus TiMiRec.load_model:92-101 — the finetune stage
+        absorbs the pretrained extractor subset)."""
+        from flax import serialization
+        with open(path, "rb") as f:
+            loaded = serialization.from_bytes(
+                jax.tree.map(np.asarray, state["params"]), f.read())                 if not partial else serialization.msgpack_restore(f.read())
+        params = state["params"]
+        if partial:
+            def merge(cur, new):
+                out = {}
+                for k, v in cur.items():
+                    if k in new and isinstance(v, dict):
+                        out[k] = merge(v, new[k])
+                    elif k in new and getattr(new[k], "shape", None) ==                             getattr(v, "shape", None):
+                        out[k] = jnp.asarray(new[k], v.dtype)
+                    else:
+                        out[k] = v
+                return out
+            params = merge(params, loaded)
+        else:
+            params = loaded
+        state = dict(state)
+        state["params"] = jax.tree.map(jnp.asarray, params)
+        state["opt_state"] = self.optimizer.init(state["params"])
+        logger.info("Load model from %s%s", path,
+                    " (partial)" if partial else "")
+        return state
+
+    def train(self, builders: Dict[str, FeedBuilder],
+              init_path: str = "", do_train: bool = True):
         """Full training loop (BaseRunner.py:120-180). Returns
         (best_state, history dict)."""
         example = next(builders["dev"].batches(self.cfg.eval_batch_size,
@@ -434,6 +475,15 @@ class RankingRunner:
             example = next(builders["train"].batches(
                 self.cfg.batch_size, shuffle=False))
         state = self.init_state(example)
+        if init_path:
+            import os
+            if os.path.exists(init_path):
+                state = self.load_state(state, init_path, partial=True)
+            else:
+                logger.info("Train from scratch! (%s missing)", init_path)
+        if not do_train:
+            return jax.tree.map(np.asarray, state), {"main_results": [],
+                                                     "dev_results": []}
         main_results: List[float] = []
         dev_results: List[Dict[str, float]] = []
         best_state = jax.tree.map(np.asarray, state)

@@ -25,7 +25,7 @@ def seq_feed(rng, B=4, I=3, L=6):
 
 
 def build(name, rng):
-    cls = MODEL_REGISTRY[name]
+    cls = MODEL_REGISTRY[name.split("-")[0]]
     if name in ("BPRMF", "DirectAU", "NeuMF", "BUIR"):
         return cls(user_num=N_USERS, item_num=N_ITEMS, emb_size=8)
     if name == "LightGCN":
@@ -55,15 +55,22 @@ def build(name, rng):
     if name == "ContraRec":
         return cls(user_num=N_USERS, item_num=N_ITEMS, emb_size=8,
                    num_heads=2, history_max=6)
+    if name.startswith("TiMiRec"):
+        return MODEL_REGISTRY["TiMiRec"](
+            user_num=N_USERS, item_num=N_ITEMS, emb_size=8, attn_size=4,
+            K=2, history_max=6,
+            stage="pretrain" if name.endswith("pre") else "finetune")
     raise ValueError(name)
 
 
 @pytest.mark.parametrize("name", ["BPRMF", "NeuMF", "LightGCN", "DirectAU",
                                   "POP", "SASRec", "GRU4Rec", "Caser",
                                   "NARM", "FPMC", "TiSASRec", "ComiRec",
-                                  "BUIR", "ContraRec"])
+                                  "BUIR", "ContraRec", "TiMiRec-pre",
+                                  "TiMiRec"])
 def test_baseline_forward(rng, name):
     model = build(name, rng)
+    name = name.split("-")[0]
     feed = {k: jnp.asarray(v) for k, v in seq_feed(rng).items()}
     variables = model.init({"params": jax.random.PRNGKey(0),
                             "dropout": jax.random.PRNGKey(1)},
