@@ -78,6 +78,7 @@ class FeedBuilder:
                  neg_history: bool = False,
                  augment_history: bool = False,
                  beta_a: int = 3, beta_b: int = 3,
+                 session_graph: bool = False,
                  test_all: bool = False,
                  clip_weights: Optional[ClipWeights] = None,
                  feature_store=None, seed: int = 0):
@@ -90,6 +91,7 @@ class FeedBuilder:
         self.neg_history = neg_history
         self.augment_history = augment_history
         self.beta_a, self.beta_b = beta_a, beta_b
+        self.session_graph = session_graph
         self.test_all = test_all
         self.hist_neg = None
         self.clip_weights = clip_weights
@@ -276,6 +278,34 @@ class FeedBuilder:
             feed["history_item_id"] = pad(self.hist_items[idx])
             feed["history_times"] = pad(self.hist_times[idx])
             feed["lengths"] = pad(self.hist_len[idx])
+            if self.session_graph:
+                # SRGNN session graph per row (SRGNN.py:42-76): unique item
+                # nodes, in/out-normalized adjacency [L, 2L], alias indices
+                L2 = self.hist_items.shape[1]
+                hist = self.hist_items[idx]
+                alias = np.zeros((n_real, L2), np.int32)
+                items_u = np.zeros((n_real, L2), np.int64)
+                A = np.zeros((n_real, L2, 2 * L2), np.float32)
+                for r2 in range(n_real):
+                    seq = hist[r2]
+                    node = np.unique(seq)
+                    items_u[r2, :len(node)] = node
+                    uA = np.zeros((L2, L2))
+                    for i2 in range(len(seq) - 1):
+                        if seq[i2 + 1] == 0:
+                            break
+                        u = int(np.where(node == seq[i2])[0][0])
+                        v = int(np.where(node == seq[i2 + 1])[0][0])
+                        uA[u][v] = 1
+                    s_in = uA.sum(0); s_in[s_in == 0] = 1
+                    s_out = uA.sum(1); s_out[s_out == 0] = 1
+                    A[r2] = np.concatenate([uA / s_in,
+                                            (uA.T / s_out)]).T
+                    alias[r2] = [int(np.where(node == i3)[0][0])
+                                 for i3 in seq]
+                feed["srgnn_alias"] = pad(alias)
+                feed["srgnn_items"] = pad(items_u)
+                feed["srgnn_A"] = pad(A)
             if self.augment_history and self.phase == "train":
                 # two augmented history views per row (ContraRec
                 # Dataset.augment: mask-op or reorder-op over the real slots,

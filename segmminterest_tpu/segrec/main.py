@@ -28,7 +28,8 @@ logger = logging.getLogger(__name__)
 
 SEQ_MODELS = {"DIN", "DIEN", "CAN", "SDIM", "ETA", "ClipDINRec", "ClipDIENRec",
               "ClipCANRec", "SASRec", "GRU4Rec", "Caser", "NARM", "FPMC",
-              "TiSASRec", "ComiRec", "ETA", "ContraRec", "TiMiRec"}
+              "TiSASRec", "ComiRec", "ETA", "ContraRec", "TiMiRec",
+              "SRGNN"}
 
 
 def build_parser():
@@ -217,6 +218,10 @@ def build_model(args, corpus, use_frames):
                    emb_size=args.emb_size, encoder=args.contrarec_encoder,
                    history_max=args.history_max, gamma=args.contrarec_gamma,
                    ccc_temp=args.ccc_temp, dropout=args.dropout)
+    if name == "SRGNN":
+        return cls(user_num=corpus.n_users, item_num=corpus.n_items,
+                   emb_size=args.emb_size, num_layers=args.num_layers,
+                   dropout=args.dropout)
     if name == "TiMiRec":
         return cls(user_num=corpus.n_users, item_num=corpus.n_items,
                    emb_size=args.emb_size, history_max=args.history_max,
@@ -379,6 +384,7 @@ def main(argv=None):
             history_max=args.history_max, include_history=include_history,
             neg_history=(args.alpha_aux > 0 and include_history),
             augment_history=(args.model_name == "ContraRec"),
+            session_graph=(args.model_name == "SRGNN"),
             beta_a=args.beta_a, beta_b=args.beta_b,
             test_all=bool(args.test_all) and phase != "train"
             and task == "ranking",

@@ -22,7 +22,7 @@ from .general import (BPRMFModel, BUIRModel, DirectAUModel, LightGCNModel,
                       NeuMFModel, POPModel)
 from .sequential import (CaserModel, ComiRecModel, ContraRecModel,
                          FPMCModel, GRU4RecModel, NARMModel, SASRecModel,
-                         TiMiRecModel, TiSASRecModel)
+                         SRGNNModel, TiMiRecModel, TiSASRecModel)
 from .deepfm import AFMModel, DeepFMModel, XDeepFMModel
 from .sam import SAMModel
 
@@ -42,6 +42,7 @@ MODEL_REGISTRY = {
     "ComiRec": ComiRecModel,
     "ContraRec": ContraRecModel,
     "TiMiRec": TiMiRecModel,
+    "SRGNN": SRGNNModel,
     "FM": FMModel,
     "WideDeep": WideDeepModel,
     "DeepFM": DeepFMModel,

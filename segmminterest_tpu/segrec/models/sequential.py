@@ -583,3 +583,73 @@ class TiMiRecModel(nn.Module):
         user_vector = (interests
                        * jax.nn.softmax(pred_intent, -1)[:, :, None]).sum(-2)
         return (user_vector[:, None, :] * i_vectors).sum(-1)
+
+
+class SRGNNModel(nn.Module):
+    """SRGNN (developing/SRGNN.py): session-graph GNN. The host feed carries
+    the per-row session graph in fixed shapes (srgnn_items: unique nodes,
+    srgnn_A: [L, 2L] in/out-normalized adjacency, srgnn_alias: position ->
+    node index — built by the feed builder exactly like _get_slice :42-76).
+    The gated GNN cell (:103-148), last-node + attention readout (:88-97)."""
+    user_num: int
+    item_num: int
+    emb_size: int = 64
+    num_layers: int = 1
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feed, *, deterministic: bool = True):
+        E = self.emb_size
+        lengths = feed["lengths"].astype(jnp.int32)
+        i_ids = feed["item_id"].astype(jnp.int32)
+        history = feed["history_item_id"].astype(jnp.int32)
+        alias = feed["srgnn_alias"].astype(jnp.int32)
+        items = feed["srgnn_items"].astype(jnp.int32)
+        A = feed["srgnn_A"].astype(self.dtype)
+        B, L = history.shape
+        valid_his = (history > 0).astype(self.dtype)
+
+        std = 1.0 / np.sqrt(E)
+        uni = nn.initializers.uniform(scale=2 * std)
+        init = lambda key, shape, dtype=self.dtype: \
+            uni(key, shape, dtype) - std
+        i_embeddings = embed(self.item_num, E, "i_embeddings", self.dtype)
+        hidden = i_embeddings(items)
+
+        edge_in = dense(E, "linear_edge_in", dtype=self.dtype)
+        edge_out = dense(E, "linear_edge_out", dtype=self.dtype)
+        w_ih = self.param("w_ih", init, (3 * E, 2 * E))
+        w_hh = self.param("w_hh", init, (3 * E, E))
+        b_ih = self.param("b_ih", init, (3 * E,))
+        b_hh = self.param("b_hh", init, (3 * E,))
+        b_iah = self.param("b_iah", init, (E,))
+        b_ioh = self.param("b_ioh", init, (E,))
+
+        for _ in range(self.num_layers):
+            a_in = A[:, :, :L] @ edge_in(hidden) + b_iah
+            a_out = A[:, :, L:] @ edge_out(hidden) + b_ioh
+            inputs = jnp.concatenate([a_in, a_out], -1)
+            gi = inputs @ w_ih.T + b_ih
+            gh = hidden @ w_hh.T + b_hh
+            i_r, i_i, i_n = jnp.split(gi, 3, axis=-1)
+            h_r, h_i, h_n = jnp.split(gh, 3, axis=-1)
+            reset = jax.nn.sigmoid(i_r + h_r)
+            inp = jax.nn.sigmoid(i_i + h_i)
+            new = jnp.tanh(i_n + reset * h_n)
+            hidden = (1 - inp) * hidden + inp * new
+
+        seq_hidden = jnp.take_along_axis(
+            hidden, alias[..., None].repeat(E, 2), axis=1)
+        idx = jnp.clip(lengths - 1, 0, L - 1)
+        ht = jnp.take_along_axis(
+            seq_hidden, idx[:, None, None].repeat(E, 2), axis=1)[:, 0]
+        alpha = dense(1, "linear3", use_bias=False, dtype=self.dtype)(
+            jax.nn.sigmoid(
+                dense(E, "linear1", dtype=self.dtype)(ht)[:, None, :]
+                + dense(E, "linear2", dtype=self.dtype)(seq_hidden)))
+        a = (alpha * seq_hidden * valid_his[:, :, None]).sum(1)
+        his_vector = dense(E, "linear_transform", dtype=self.dtype)(
+            jnp.concatenate([a, ht], 1))
+        i_vectors = i_embeddings(i_ids)
+        return (his_vector[:, None, :] * i_vectors).sum(-1)

@@ -71,8 +71,9 @@ def build_model(name, cls, use_frames):
 # general/sequential baselines have their own fixtures in
 # test_baseline_models.py
 CONTEXT_MODELS = sorted(set(MODEL_REGISTRY) - {
-    "BPRMF", "NeuMF", "LightGCN", "DirectAU", "POP",
-    "SASRec", "GRU4Rec", "Caser", "NARM", "FPMC", "TiSASRec", "ComiRec"})
+    "BPRMF", "NeuMF", "LightGCN", "DirectAU", "POP", "BUIR",
+    "SASRec", "GRU4Rec", "Caser", "NARM", "FPMC", "TiSASRec", "ComiRec",
+    "ContraRec", "TiMiRec", "SRGNN"})
 
 
 @pytest.mark.parametrize("name", CONTEXT_MODELS)
