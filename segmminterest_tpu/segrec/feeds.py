@@ -277,6 +277,8 @@ class FeedBuilder:
         if self.include_history:
             feed["history_item_id"] = pad(self.hist_items[idx])
             feed["history_times"] = pad(self.hist_times[idx])
+            feed["history_delta_t"] = pad(
+                np.asarray(self.time[idx])[:, None] - self.hist_times[idx])
             feed["lengths"] = pad(self.hist_len[idx])
             if self.session_graph:
                 # SRGNN session graph per row (SRGNN.py:42-76): unique item

@@ -29,7 +29,7 @@ logger = logging.getLogger(__name__)
 SEQ_MODELS = {"DIN", "DIEN", "CAN", "SDIM", "ETA", "ClipDINRec", "ClipDIENRec",
               "ClipCANRec", "SASRec", "GRU4Rec", "Caser", "NARM", "FPMC",
               "TiSASRec", "ComiRec", "ETA", "ContraRec", "TiMiRec",
-              "SRGNN"}
+              "SRGNN", "CLRec", "FourierTA"}
 
 
 def build_parser():
@@ -71,6 +71,8 @@ def build_parser():
     p.add_argument("--train", type=int, default=1,
                    help="0: skip training and evaluate the loaded model "
                         "(ReChorus main.py --train 0)")
+    p.add_argument("--t_scalar", type=int, default=60,
+                   help="FourierTA time-interval scalar")
     p.add_argument("--timirec_stage", type=str, default="finetune",
                    choices=["pretrain", "finetune"])
     p.add_argument("--timirec_temp", type=float, default=1.0)
@@ -218,6 +220,14 @@ def build_model(args, corpus, use_frames):
                    emb_size=args.emb_size, encoder=args.contrarec_encoder,
                    history_max=args.history_max, gamma=args.contrarec_gamma,
                    ccc_temp=args.ccc_temp, dropout=args.dropout)
+    if name == "CLRec":
+        return cls(user_num=corpus.n_users, item_num=corpus.n_items,
+                   emb_size=args.emb_size, temp=args.ccc_temp,
+                   history_max=args.history_max, dropout=args.dropout)
+    if name == "FourierTA":
+        return cls(user_num=corpus.n_users, item_num=corpus.n_items,
+                   emb_size=args.emb_size, t_scalar=args.t_scalar,
+                   dropout=args.dropout)
     if name == "SRGNN":
         return cls(user_num=corpus.n_users, item_num=corpus.n_items,
                    emb_size=args.emb_size, num_layers=args.num_layers,
@@ -406,7 +416,8 @@ def main(argv=None):
         loss_n=args.loss_n or (
             "BCE" if task == "ctr"
             else "BUIR" if args.model_name == "BUIR"
-            else "ContraRec" if args.model_name == "ContraRec" else "BPR"),
+            else "ContraRec" if args.model_name == "ContraRec"
+            else "CLRec" if args.model_name == "CLRec" else "BPR"),
         ctc_temp=args.ctc_temp,
         auxillary_loss_weight=args.auxillary_loss_weight,
         seed=args.random_seed)

@@ -20,9 +20,10 @@ from .clip_variants import (ClipAdaGINModel, ClipAutoIntModel, ClipCANModel,
                             ClipDCNv2Model, ClipDIENModel, ClipFinalMLPModel)
 from .general import (BPRMFModel, BUIRModel, DirectAUModel, LightGCNModel,
                       NeuMFModel, POPModel)
-from .sequential import (CaserModel, ComiRecModel, ContraRecModel,
-                         FPMCModel, GRU4RecModel, NARMModel, SASRecModel,
-                         SRGNNModel, TiMiRecModel, TiSASRecModel)
+from .sequential import (CaserModel, CLRecModel, ComiRecModel,
+                         ContraRecModel, FourierTAModel, FPMCModel,
+                         GRU4RecModel, NARMModel, SASRecModel, SRGNNModel,
+                         TiMiRecModel, TiSASRecModel)
 from .deepfm import AFMModel, DeepFMModel, XDeepFMModel
 from .sam import SAMModel
 
@@ -43,6 +44,8 @@ MODEL_REGISTRY = {
     "ContraRec": ContraRecModel,
     "TiMiRec": TiMiRecModel,
     "SRGNN": SRGNNModel,
+    "CLRec": CLRecModel,
+    "FourierTA": FourierTAModel,
     "FM": FMModel,
     "WideDeep": WideDeepModel,
     "DeepFM": DeepFMModel,

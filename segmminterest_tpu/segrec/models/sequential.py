@@ -653,3 +653,130 @@ class SRGNNModel(nn.Module):
             jnp.concatenate([a, ht], 1))
         i_vectors = i_embeddings(i_ids)
         return (his_vector[:, None, :] * i_vectors).sum(-1)
+
+
+class CLRecModel(nn.Module):
+    """CLRec (developing/CLRec.py): BERT4Rec encoder scored against
+    candidates; training minimizes ONLY the in-batch InfoNCE between the
+    sequence vector and the target item vector (loss :63-108 — the
+    prediction head is untouched by the loss). The contrastive term is
+    computed in-forward over the batch and sown; runner loss_n='CLRec'
+    contributes zero so the sown term is the whole objective."""
+    user_num: int
+    item_num: int
+    emb_size: int = 64
+    temp: float = 0.2
+    num_layers: int = 2
+    num_heads: int = 2
+    history_max: int = 20
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feed, *, deterministic: bool = True):
+        i_embeddings = embed(self.item_num, self.emb_size, "i_embeddings",
+                             self.dtype)
+        history = feed["history_item_id"].astype(jnp.int32)
+        lengths = feed["lengths"].astype(jnp.int32)
+        i_ids = feed["item_id"].astype(jnp.int32)
+        B, L = history.shape
+        his = i_embeddings(history)
+        valid = jnp.arange(L)[None, :] < lengths[:, None]
+        position = jnp.arange(L)[None, :] * valid.astype(jnp.int32)
+        his = his + embed(self.history_max + 1, self.emb_size,
+                          "p_embeddings", self.dtype)(position)
+        attn_mask = valid[:, None, None, :]
+        for b in range(self.num_layers):
+            his = _TransformerBlock(self.emb_size, self.emb_size,
+                                    self.num_heads, self.dropout,
+                                    dtype=self.dtype, name=f"block_{b}")(
+                his, attn_mask, deterministic=deterministic)
+        his = his * valid[:, :, None].astype(his.dtype)
+        idx = jnp.clip(lengths - 1, 0, L - 1)
+        his_vector = jnp.take_along_axis(
+            his, idx[:, None, None].repeat(self.emb_size, 2), axis=1)[:, 0]
+        i_vectors = i_embeddings(i_ids)
+        prediction = (his_vector[:, None, :] * i_vectors).sum(-1)
+
+        if not deterministic:
+            def norm(t):
+                return t / (jnp.linalg.norm(t, axis=-1, keepdims=True)
+                            + 1e-12)
+            f0 = norm(his_vector)
+            f1 = norm(i_vectors[:, 0])
+            logits = f0 @ f1.T / self.temp
+            logits = logits - jax.lax.stop_gradient(
+                logits.max(1, keepdims=True))
+            rm = feed["row_mask"].astype(self.dtype)
+            # padded rows leave both the positives and the denominator
+            exp_l = jnp.exp(logits) * rm[None, :]
+            log_prob = logits - jnp.log(exp_l.sum(1, keepdims=True) + 1e-10)
+            diag = jnp.diagonal(log_prob)
+            loss = -(diag * rm).sum() / jnp.maximum(rm.sum(), 1)
+            self.sow("losses", "clrec_infonce", loss)
+        return prediction
+
+
+class FourierTAModel(nn.Module):
+    """FourierTA (developing/FourierTA.py): target attention over the
+    history whose weights decay by a learned truncated-Fourier function of
+    the (log-normalized) time delta (idft_decay :84-110); user + attended
+    context scored against candidates with an item bias. The feed's
+    history_times/time supply delta_t; norm_time is KDAReader.norm_time
+    (log2(dt/t_scalar), clipped at 0)."""
+    user_num: int
+    item_num: int
+    emb_size: int = 64
+    t_scalar: int = 60
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feed, *, deterministic: bool = True):
+        E = self.emb_size
+        uid = feed["user_id"].astype(jnp.int32)
+        i_ids = feed["item_id"].astype(jnp.int32)
+        history = feed["history_item_id"].astype(jnp.int32)
+        delta_t = feed["history_delta_t"]
+        delta_n = jnp.maximum(
+            jnp.log2(delta_t.astype(jnp.float32) / self.t_scalar + 1e-6), 0.0)
+        B, L = history.shape
+        u_vectors = embed(self.user_num, E, "user_embeddings",
+                          self.dtype)(uid)
+        i_embeddings = embed(self.item_num, E, "item_embeddings", self.dtype)
+        i_vectors = i_embeddings(i_ids)
+        his = i_embeddings(history)
+        valid = (history > 0)[:, None, :]
+
+        # attention energies (FourierTemporalAttention.forward :112-126)
+        q = his[:, None, :, :] * i_vectors[:, :, None, :]
+        att = dense(1, "A_out", use_bias=False, dtype=self.dtype)(
+            jnp.tanh(dense(10, "A", dtype=self.dtype)(q))).squeeze(-1)
+        att = att - jax.lax.stop_gradient(att.max())
+        att = jnp.where(valid, att, -jnp.inf)
+        att = jax.nn.softmax(att.astype(jnp.float32), -1).astype(self.dtype)
+        att = jnp.where(jnp.isnan(att), 0.0, att)
+
+        # truncated-Fourier decay (idft_decay :84-99)
+        d_f = E
+        fr = self.param("freq_real", nn.initializers.normal(0.01), (d_f,))
+        fi = self.param("freq_imag", nn.initializers.normal(0.01), (d_f,))
+        freq = jnp.linspace(0, 1, d_f) / 2.0
+        freqs = jnp.concatenate([freq, -freq])
+        x_real = jnp.concatenate([fr, fr])
+        x_imag = jnp.concatenate([fi, -fi])
+        w = 2.0 * np.pi * freqs * delta_n[..., None]
+        decay = ((jnp.cos(w) * x_real - jnp.sin(w) * x_imag).mean(-1)
+                 / 2.0).clip(0, 1)
+        att = att * jnp.where(valid, decay[:, None, :], 0.0)
+
+        context = att @ his                              # (B, I, E)
+        res = context
+        context = dense(E, "W2", dtype=self.dtype)(
+            nn.relu(dense(E, "W1", dtype=self.dtype)(context)))
+        context = nn.Dropout(self.dropout)(context,
+                                           deterministic=deterministic)
+        context = nn.LayerNorm(name="layer_norm")(res + context)
+        i_bias = embed(self.item_num, 1, "item_bias",
+                       self.dtype)(i_ids).squeeze(-1)
+        return ((u_vectors[:, None, :] + context) * i_vectors).sum(-1) + i_bias

@@ -265,6 +265,10 @@ class RankingRunner:
             # (BaseRunner.py:199-208)
             predictions = jnp.take_along_axis(predictions,
                                               batch["unshuffle"], axis=1)
+        if self.cfg.loss_n == "CLRec":
+            # the in-batch InfoNCE sown by the model IS the objective
+            # (CLRec.py:61-63); nothing prediction-based is added
+            return jnp.asarray(0.0, jnp.float32)
         if self.cfg.loss_n == "ContraRec":
             # context-target contrastive: temperature softmax over the
             # candidate axis, NLL of column 0 (ContraRec.py:101-105); the

@@ -21,6 +21,7 @@ def seq_feed(rng, B=4, I=3, L=6):
         "history_times": np.sort(rng.integers(0, 10_000, size=(B, L))),
         "user_min_intervals": rng.integers(1, 50, size=B),
         "lengths": rng.integers(1, L + 1, size=B),
+        "history_delta_t": rng.integers(0, 10_000, size=(B, L)),
         "srgnn_alias": rng.integers(0, L, size=(B, L)),
         "srgnn_items": rng.integers(0, N_ITEMS, size=(B, L)),
         "srgnn_A": rng.random((B, L, 2 * L)).astype(np.float32),
@@ -60,6 +61,11 @@ def build(name, rng):
                    num_heads=2, history_max=6)
     if name == "SRGNN":
         return cls(user_num=N_USERS, item_num=N_ITEMS, emb_size=8)
+    if name == "CLRec":
+        return cls(user_num=N_USERS, item_num=N_ITEMS, emb_size=8,
+                   num_heads=2, history_max=6)
+    if name == "FourierTA":
+        return cls(user_num=N_USERS, item_num=N_ITEMS, emb_size=8)
     if name.startswith("TiMiRec"):
         return MODEL_REGISTRY["TiMiRec"](
             user_num=N_USERS, item_num=N_ITEMS, emb_size=8, attn_size=4,
@@ -72,7 +78,8 @@ def build(name, rng):
                                   "POP", "SASRec", "GRU4Rec", "Caser",
                                   "NARM", "FPMC", "TiSASRec", "ComiRec",
                                   "BUIR", "ContraRec", "TiMiRec-pre",
-                                  "TiMiRec", "SRGNN"])
+                                  "TiMiRec", "SRGNN", "CLRec",
+                                  "FourierTA"])
 def test_baseline_forward(rng, name):
     model = build(name, rng)
     name = name.split("-")[0]

@@ -73,7 +73,7 @@ def build_model(name, cls, use_frames):
 CONTEXT_MODELS = sorted(set(MODEL_REGISTRY) - {
     "BPRMF", "NeuMF", "LightGCN", "DirectAU", "POP", "BUIR",
     "SASRec", "GRU4Rec", "Caser", "NARM", "FPMC", "TiSASRec", "ComiRec",
-    "ContraRec", "TiMiRec", "SRGNN"})
+    "ContraRec", "TiMiRec", "SRGNN", "CLRec", "FourierTA"})
 
 
 @pytest.mark.parametrize("name", CONTEXT_MODELS)
