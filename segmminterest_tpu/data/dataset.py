@@ -52,24 +52,41 @@ def prefetch(it: Iterator, size: int = 2) -> Iterator:
     workers). Exceptions raised by the producer are re-raised at the consumer.
     """
     q: queue.Queue = queue.Queue(maxsize=size)
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        # bounded put that notices consumer shutdown, so an abandoned
+        # iterator (debug break, early stop, NaN abort) does not leave the
+        # thread blocked forever holding buffered batches
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in it:
-                q.put(item)
-            q.put(_SENTINEL)
+                if not put(item):
+                    return
+            put(_SENTINEL)
         except BaseException as e:  # noqa: BLE001 — re-raised in consumer
-            q.put(e)
+            put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 class BatchIterator:
@@ -99,6 +116,14 @@ class BatchIterator:
         self._photo_tab: Optional[np.ndarray] = None
         self._pool_concat: Optional[np.ndarray] = None
         self._pool_off: Optional[np.ndarray] = None
+        # stored candidate pools are capped at pool_cap per row (one uniform
+        # subsample at build time); per-batch draws then subsample within the
+        # cap. Marginal inclusion probabilities match the reference's direct
+        # user_max-of-pool draw; only cross-visit correlation differs. Keeps
+        # resident pool memory ~pool_cap*4B per row instead of the full
+        # unbounded pool (the production history pools average several
+        # hundred ids per row).
+        self.pool_cap = 4 * self.user_max
 
     def _build_row_tables(self):
         t = self.table
@@ -112,6 +137,9 @@ class BatchIterator:
             self._photo_tab[r, :len(pl)] = pl
             pool = self._user_lines_pool(int(t.user_raw[r]),
                                          int(t.position[r]))
+            if len(pool) > self.pool_cap:
+                pool = pool[self.rng.choice(len(pool), self.pool_cap,
+                                            replace=False)]
             pools.append(pool)
             off[r + 1] = off[r] + len(pool)
         self._pool_concat = (np.concatenate(pools) if pools

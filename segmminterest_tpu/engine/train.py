@@ -177,6 +177,9 @@ class InterestEngine:
             pid, nproc = jax.process_index(), jax.process_count()
 
             def put(v):
+                assert v.shape[0] % nproc == 0, (
+                    f"global batch {v.shape[0]} not divisible by "
+                    f"{nproc} processes — pad the batch size")
                 per = v.shape[0] // nproc
                 local = np.asarray(v[pid * per:(pid + 1) * per])
                 return jax.make_array_from_process_local_data(

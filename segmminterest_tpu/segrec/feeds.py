@@ -140,16 +140,16 @@ class FeedBuilder:
                 d = np.diff(np.asarray(times, np.int64))
                 d = d[d > 0]
                 if len(d):
-                    self.user_min_interval[uid] = d.min()
+                    # the reference's min over (|ti-tj| + (<=0)*0xFFFF)
+                    # always includes the shifted diagonal, so it caps at
+                    # 0xFFFF (TiSASRec.py:48-53)
+                    self.user_min_interval[uid] = min(int(d.min()), 0xFFFF)
             for r in range(n):
-                items, _ = corpus.history_slice(self.user_id[r],
-                                                self.position[r], hmax)
+                items, times = corpus.history_slice(self.user_id[r],
+                                                    self.position[r], hmax)
                 self.hist_items[r, :len(items)] = items
                 self.hist_len[r] = len(items)
-                times_u = corpus.user_his_times[int(self.user_id[r])]
-                pos0 = int(self.position[r])
-                lo0 = max(0, pos0 - hmax) if hmax > 0 else 0
-                self.hist_times[r, :len(items)] = times_u[lo0:pos0]
+                self.hist_times[r, :len(items)] = times
                 pos = int(self.position[r])
                 lo = max(0, pos - hmax) if hmax > 0 else 0
                 for f in corpus.situation_feature_names:

@@ -71,6 +71,8 @@ def build_parser():
     p.add_argument("--train", type=int, default=1,
                    help="0: skip training and evaluate the loaded model "
                         "(ReChorus main.py --train 0)")
+    p.add_argument("--narm_hidden_size", type=int, default=100)
+    p.add_argument("--narm_attention_size", type=int, default=50)
     p.add_argument("--t_scalar", type=int, default=60,
                    help="FourierTA time-interval scalar")
     p.add_argument("--timirec_stage", type=str, default="finetune",
@@ -208,9 +210,15 @@ def build_model(args, corpus, use_frames):
         return cls(user_num=corpus.n_users, item_num=corpus.n_items,
                    emb_size=args.emb_size, history_max=args.history_max,
                    dropout=args.dropout)
-    if name in ("GRU4Rec", "NARM", "FPMC"):
+    if name in ("GRU4Rec", "FPMC"):
         return cls(user_num=corpus.n_users, item_num=corpus.n_items,
                    emb_size=args.emb_size, dropout=args.dropout)
+    if name == "NARM":
+        return cls(user_num=corpus.n_users, item_num=corpus.n_items,
+                   emb_size=args.emb_size,
+                   hidden_size=args.narm_hidden_size,
+                   attention_size=args.narm_attention_size,
+                   dropout=args.dropout)
     if name == "TiSASRec":
         return cls(user_num=corpus.n_users, item_num=corpus.n_items,
                    emb_size=args.emb_size, history_max=args.history_max,
@@ -322,8 +330,11 @@ def build_model(args, corpus, use_frames):
                    induce_vec_size=args.induce_vec_size,
                    co_action_layers=tuple(json.loads(args.co_action_layers)),
                    **seq_kwargs)
-    if name in ("SDIM", "ETA"):
+    if name == "SDIM":
         return cls(dnn_layers=dnn_layers, **seq_kwargs)
+    if name == "ETA":
+        return cls(dnn_layers=dnn_layers, history_max=args.history_max,
+                   **seq_kwargs)
     if name in ("ClipRec", "ClipWDRec"):
         return cls(emb_dim=args.emb_size, dnn_layers=dnn_layers,
                    contrastive=args.contrastive, **clip_kwargs)

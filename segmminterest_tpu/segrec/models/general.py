@@ -177,7 +177,9 @@ class BUIRModel(nn.Module):
     predictions and stop-gradient targets (:101-114); no negative sampling
     is needed (sampled negatives, if present, are simply unused). After
     every optimizer step the runner applies the momentum update
-    t <- m·t + (1-m)·o (:66-71 via BUIRRunner)."""
+    t <- m·t + (1-m)·o (:66-71 via BUIRRunner). Run with --l2 0: the
+    reference freezes the target tables (requires_grad=False) so they see
+    no weight decay either."""
     user_num: int
     item_num: int
     emb_size: int = 64
@@ -222,6 +224,17 @@ class BUIRModel(nn.Module):
         loss_iu = 2 - 2 * (norm(i_on) * norm(u_t)).sum(-1)
         n = jnp.maximum(row_mask.sum(), 1)
         return ((loss_ui + loss_iu) * row_mask).sum() / n
+
+    @staticmethod
+    def sync_targets(params):
+        """Copy online -> target at construction (BUIR.py:52-57
+        param_t.data.copy_(param_o.data)); applied by the runner right
+        after init."""
+        params = dict(params)
+        for side in ("user", "item"):
+            params[f"{side}_target"] = {
+                "embedding": params[f"{side}_online"]["embedding"]}
+        return params
 
     @staticmethod
     def momentum_update(params, momentum: float):

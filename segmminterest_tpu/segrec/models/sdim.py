@@ -129,6 +129,7 @@ class ETAModel(nn.Module):
     hash_bits: int = 4
     recent_k: int = 5
     retrieval_k: int = 5
+    history_max: int = 20
     dropout: float = 0.0
     dtype: Any = jnp.float32
 
@@ -159,6 +160,14 @@ class ETAModel(nn.Module):
         short_interest = short_att(tgt2d, his2d, ms2d,
                                    deterministic=deterministic) \
             .reshape(B, I, H)
+
+        if self.history_max <= self.recent_k:
+            # the reference builds no long-interest branch at all in this
+            # configuration (ETA.py:139-141,206-208): DNN input = short only
+            return MLPBlock(self.dnn_layers, output_dim=1,
+                            dropout=self.dropout, dtype=self.dtype,
+                            name="dnn")(short_interest,
+                                        deterministic=deterministic)[..., 0]
 
         # LSH top-k retrieval (topk_retrieval :251-266)
         rot = self.param("random_rotations", nn.initializers.normal(1.0),

@@ -479,6 +479,10 @@ class RankingRunner:
             example = next(builders["train"].batches(
                 self.cfg.batch_size, shuffle=False))
         state = self.init_state(example)
+        if self._momentum_update is not None and \
+                hasattr(type(self.model), "sync_targets"):
+            state = dict(state)
+            state["params"] = type(self.model).sync_targets(state["params"])
         if init_path:
             import os
             if os.path.exists(init_path):
