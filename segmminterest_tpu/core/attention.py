@@ -37,7 +37,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .numerics import MASK_FILL_VALUE
 
-DEFAULT_BLOCK_B = 8
+import os
+
+# batch tile of the attention grid; 8 is the sublane quantum minimum, larger
+# tiles amortize per-block overhead at higher VMEM use (A/B via env)
+DEFAULT_BLOCK_B = int(os.environ.get("SEGMM_ATTN_BLOCK_B", "8"))
 
 
 def _attention_reference(q, k, v, mask_q, mask_k, dropout_rate, seed,

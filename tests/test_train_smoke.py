@@ -153,3 +153,48 @@ def test_save_logits_artifact(tmp_path, sample_reader):
     assert np.isfinite(arr[:, :40]).all()
     assert set(np.unique(arr[:, 40:80])) <= {1, 0, -1, -2}
     assert (arr[:, 80] > 0).all() and (arr[:, 81] > 0).all()
+
+
+def test_prefetch_producer_stops_when_consumer_abandons():
+    """The prefetch thread must terminate (not block forever on a full
+    queue) when the consumer stops iterating early — debug breaks, early
+    stop, and NaN aborts all abandon iterators mid-epoch."""
+    import threading
+    import time as _time
+
+    from segmminterest_tpu.data.dataset import prefetch
+
+    before = threading.active_count()
+    produced = []
+
+    def gen():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+
+    it = prefetch(gen(), size=2)
+    assert next(it) == 0
+    assert next(it) == 1
+    it.close()  # GeneratorExit -> finally -> stop event
+
+    deadline = _time.time() + 5.0
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"
+    # the producer stopped early instead of draining all 1000 items
+    assert len(produced) < 100
+
+
+def test_prefetch_propagates_producer_exception():
+    from segmminterest_tpu.data.dataset import prefetch
+
+    def gen():
+        yield 1
+        raise RuntimeError("boom")
+
+    it = prefetch(gen(), size=2)
+    assert next(it) == 1
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="boom"):
+        for _ in it:
+            pass
