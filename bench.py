@@ -146,11 +146,12 @@ def measure(result: dict) -> None:
         user_input_type="both", photo_input_type="both", fusion_heads=2,
         loss_type="interestBPR,focal", exposure_prob=[1.0] * 40,
         train_batch_size=BATCH, compute_dtype="bfloat16",
-        # measured on v5e (tools/perf_ab.py): attention-scope remat beats
-        # whole-layer remat at B=1024 and fits HBM with this table size;
-        # no-remat needs 16.1G (OOM). With the production 3.9M-row table
-        # (~7.5 GB) whole-layer remat is the safe setting.
-        remat_scope="attention")
+        # measured on v5e (tools/perf_ab.py): with the native two-block
+        # attention kernel, NO remat fits HBM at B=1024 with this table size
+        # and is fastest (2573 ips vs 2251 attention-scope vs 2074 layer).
+        # With the production 3.9M-row table (~7.5 GB resident) use
+        # remat=True remat_scope='layer' (the InterestConfig default).
+        remat=False)
 
     rng = np.random.default_rng(0)
     feat_table = rng.normal(size=(N_LINES, FEAT_DIM)).astype(np.float32)
@@ -185,10 +186,13 @@ def measure(result: dict) -> None:
                                        num_warmup=10)
     store = synthetic_store(reader, rng)
 
+    # one iterator for all epochs: the precomputed row tables persist and
+    # __iter__ reshuffles per epoch
+    it = BatchIterator(reader, reader.tables["train"], BATCH,
+                       shuffle=True, feature_store=store, seed=7,
+                       prefetch_size=2)
+
     def run_epoch(state, key):
-        it = BatchIterator(reader, reader.tables["train"], BATCH,
-                           shuffle=True, feature_store=store, seed=7,
-                           prefetch_size=2)
         n = 0
         for batch in it:
             key, k = jax.random.split(key)
