@@ -314,3 +314,78 @@ def test_loss_dict_matches_reference(ref_modules, batch):
     for key in ("focal", "interestBPR", "mse", "mse2", "loss"):
         assert float(ours[key]) == pytest.approx(float(ref[key]),
                                                  rel=2e-5, abs=2e-6), key
+
+
+@pytest.mark.slow
+def test_training_trajectory_matches_reference(ref_modules, batch):
+    """Five full optimizer steps in lock-step with the reference: identical
+    transplanted init, identical batch, dropout 0, AdamW(lr=1e-3, wd=1e-4)
+    with global-norm clip 10.0 (main_…SegMM.py:226,296-299). Proves the
+    whole training step — forward, loss zoo, grad flow, clipping, decoupled
+    weight decay — end to end, not just the forward."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from segmminterest_tpu.models.losses import compute_loss_dict
+
+    LR, WD, STEPS = 1e-3, 1e-4, 5
+    exposure = RefArgs.exposure_prob
+
+    model = build_our_model().clone(dropout=0.0)
+    args_j = (jnp.asarray(batch["usr_image"]), jnp.asarray(batch["usr_id"]),
+              jnp.asarray(batch["usr_mask"]), jnp.asarray(batch["vid_image"]),
+              jnp.asarray(batch["vid_id"]), jnp.asarray(batch["vid_mask"]))
+    params = model.init(jax.random.PRNGKey(3), *args_j,
+                        deterministic=True)["params"]
+
+    tmodel = build_ref_model(ref_modules)
+    tmodel.model_cfg.dropout = 0.0
+    for m in tmodel.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+    port_params(params, tmodel)
+    tmodel.train()
+
+    # ---- ours ----
+    tx = optax.chain(optax.clip_by_global_norm(10.0),
+                     optax.adamw(LR, weight_decay=WD))
+    opt_state = tx.init(params)
+
+    def loss_fn(p):
+        logits = model.apply({"params": p}, *args_j, deterministic=True)
+        ld = compute_loss_dict(logits.astype(jnp.float32),
+                               jnp.asarray(batch["label"]),
+                               jnp.ones(B, bool),
+                               jnp.asarray(exposure, jnp.float32),
+                               tuple(RefArgs.loss_type_list),
+                               RefArgs.loss_weight)
+        return ld["loss"]
+
+    ours_losses = []
+    for _ in range(STEPS):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        ours_losses.append(float(loss))
+
+    # ---- reference ----
+    opt = torch.optim.AdamW([p for p in tmodel.parameters()], lr=LR,
+                            weight_decay=WD)
+    t_in = dict(usr_image=torch.tensor(batch["usr_image"]),
+                usr_id=torch.tensor(batch["usr_id"]),
+                usr_mask=torch.tensor(batch["usr_mask"]),
+                vid_image=torch.tensor(batch["vid_image"]),
+                vid_id=torch.tensor(batch["vid_id"]),
+                vid_mask=torch.tensor(batch["vid_mask"]))
+    ref_losses = []
+    for _ in range(STEPS):
+        opt.zero_grad()
+        out = tmodel(**t_in, gt=torch.tensor(batch["label"].copy()),
+                     mode="train")
+        out["loss"].backward()
+        torch.nn.utils.clip_grad_norm_(
+            [p for p in tmodel.parameters()], 10.0)
+        opt.step()
+        ref_losses.append(float(out["loss"]))
+
+    np.testing.assert_allclose(ours_losses, ref_losses, rtol=3e-4)
