@@ -585,3 +585,366 @@ def fused_two_block_attention(q1, q2, k1, k2, v1, v2, mask_q, mask_k1,
                             mask_k2.astype(jnp.int32),
                             float(dropout_rate), bool(deterministic),
                             bool(interpret), float(scale), seed)
+
+
+# ---------------------------------------------------------------------------
+# Projection-fused two-block kernels: the 6 QKV projections of a two-block
+# attention run INSIDE the kernel, so q/k/v (and in backward dq/dk/dv) never
+# materialize in HBM. XLA's cost analysis puts the no-remat flagship step at
+# 67 FLOP/byte — memory-bound — and the projection activations are the
+# largest single traffic term; fusing them trades nothing (the (d, d) weight
+# blocks sit in VMEM across the whole grid).
+# ---------------------------------------------------------------------------
+
+def _proj(x, w_ref, b_ref):
+    return (jax.lax.dot_general(
+        x, w_ref[...], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+        + b_ref[...].astype(x.dtype))
+
+
+def _fp_fwd_kernel(seed_ref, xq_ref, x1_ref, x2_ref,
+                   wq1_ref, bq1_ref, wq2_ref, bq2_ref,
+                   wk1_ref, bk1_ref, wk2_ref, bk2_ref,
+                   wv1_ref, bv1_ref, wv2_ref, bv2_ref,
+                   mq_ref, mk1_ref, mk2_ref, o_ref, *,
+                   num_heads, qk_dim, v_dim, scale, dropout_rate,
+                   deterministic, interpret):
+    b = pl.program_id(0)
+    if not deterministic and dropout_rate > 0 and not interpret:
+        pltpu.prng_seed(seed_ref[0] + b)
+    xq = xq_ref[...]
+    x1 = x1_ref[...]
+    x2 = x2_ref[...]
+    q1 = _proj(xq, wq1_ref, bq1_ref)
+    q2 = _proj(xq, wq2_ref, bq2_ref)
+    k1 = _proj(x1, wk1_ref, bk1_ref)
+    k2 = _proj(x2, wk2_ref, bk2_ref)
+    v1 = _proj(x1, wv1_ref, bv1_ref)
+    v2 = _proj(x2, wv2_ref, bv2_ref)
+    pair1 = (mq_ref[...][:, :, None] * mk1_ref[...][:, None, :]) > 0
+    pair2 = (mq_ref[...][:, :, None] * mk2_ref[...][:, None, :]) > 0
+    for h in range(num_heads):
+        sl = slice(h * qk_dim, (h + 1) * qk_dim)
+        sl_v = slice(h * v_dim, (h + 1) * v_dim)
+        dims = (((2,), (2,)), ((0,), (0,)))
+        l1 = jax.lax.dot_general(q1[:, :, sl], k1[:, :, sl], dims,
+                                 preferred_element_type=jnp.float32)
+        l2 = jax.lax.dot_general(q2[:, :, sl], k2[:, :, sl], dims,
+                                 preferred_element_type=jnp.float32)
+        p1, p2, _, _ = _joint_probs(l1, l2, pair1, pair2, scale,
+                                    dropout_rate, deterministic, interpret,
+                                    seed_ref[0] + b, h)
+        av = (((2,), (1,)), ((0,), (0,)))
+        v1_h = v1[:, :, sl_v]
+        v2_h = v2[:, :, sl_v]
+        o_ref[:, :, sl_v] = (
+            jax.lax.dot_general(p1.astype(v1_h.dtype), v1_h, av,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(p2.astype(v2_h.dtype), v2_h, av,
+                                  preferred_element_type=jnp.float32)
+        ).astype(o_ref.dtype)
+
+
+def _fp_bwd_kernel(seed_ref, xq_ref, x1_ref, x2_ref,
+                   wq1_ref, bq1_ref, wq2_ref, bq2_ref,
+                   wk1_ref, bk1_ref, wk2_ref, bk2_ref,
+                   wv1_ref, bv1_ref, wv2_ref, bv2_ref,
+                   mq_ref, mk1_ref, mk2_ref, g_ref,
+                   dxq_ref, dx1_ref, dx2_ref,
+                   dwq1_ref, dbq1_ref, dwq2_ref, dbq2_ref,
+                   dwk1_ref, dbk1_ref, dwk2_ref, dbk2_ref,
+                   dwv1_ref, dbv1_ref, dwv2_ref, dbv2_ref, *,
+                   num_heads, qk_dim, v_dim, scale, dropout_rate,
+                   deterministic, interpret):
+    b = pl.program_id(0)
+    if not deterministic and dropout_rate > 0 and not interpret:
+        pltpu.prng_seed(seed_ref[0] + b)
+    xq = xq_ref[...]
+    x1 = x1_ref[...]
+    x2 = x2_ref[...]
+    q1 = _proj(xq, wq1_ref, bq1_ref)
+    q2 = _proj(xq, wq2_ref, bq2_ref)
+    k1 = _proj(x1, wk1_ref, bk1_ref)
+    k2 = _proj(x2, wk2_ref, bk2_ref)
+    v1 = _proj(x1, wv1_ref, bv1_ref)
+    v2 = _proj(x2, wv2_ref, bv2_ref)
+    pair1 = (mq_ref[...][:, :, None] * mk1_ref[...][:, None, :]) > 0
+    pair2 = (mq_ref[...][:, :, None] * mk2_ref[...][:, None, :]) > 0
+
+    dq1_parts, dq2_parts = [], []
+    dk1_parts, dk2_parts, dv1_parts, dv2_parts = [], [], [], []
+    for h in range(num_heads):
+        sl = slice(h * qk_dim, (h + 1) * qk_dim)
+        sl_v = slice(h * v_dim, (h + 1) * v_dim)
+        dims = (((2,), (2,)), ((0,), (0,)))
+        q1_h, q2_h = q1[:, :, sl], q2[:, :, sl]
+        k1_h, k2_h = k1[:, :, sl], k2[:, :, sl]
+        v1_h, v2_h = v1[:, :, sl_v], v2[:, :, sl_v]
+        g_h = g_ref[:, :, sl_v].astype(jnp.float32)
+        l1 = jax.lax.dot_general(q1_h, k1_h, dims,
+                                 preferred_element_type=jnp.float32)
+        l2 = jax.lax.dot_general(q2_h, k2_h, dims,
+                                 preferred_element_type=jnp.float32)
+        p1, p2, keep1, keep2 = _joint_probs(
+            l1, l2, pair1, pair2, scale, dropout_rate, deterministic,
+            interpret, seed_ref[0] + b, h)
+
+        pt = (((1,), (1,)), ((0,), (0,)))
+        dv1_parts.append(jax.lax.dot_general(
+            p1, g_h, pt, preferred_element_type=jnp.float32))
+        dv2_parts.append(jax.lax.dot_general(
+            p2, g_h, pt, preferred_element_type=jnp.float32))
+        dp1 = jax.lax.dot_general(g_h, v1_h.astype(jnp.float32), dims,
+                                  preferred_element_type=jnp.float32)
+        dp2 = jax.lax.dot_general(g_h, v2_h.astype(jnp.float32), dims,
+                                  preferred_element_type=jnp.float32)
+        s = (dp1 * p1).sum(-1, keepdims=True) \
+            + (dp2 * p2).sum(-1, keepdims=True)
+        dl1 = p1 * (dp1 - s) * scale
+        dl2 = p2 * (dp2 - s) * scale
+        if not deterministic and dropout_rate > 0:
+            dl1 = jnp.where(keep1, dl1 / (1.0 - dropout_rate), 0.0)
+            dl2 = jnp.where(keep2, dl2 / (1.0 - dropout_rate), 0.0)
+        dl1 = jnp.where(pair1, dl1, 0.0)
+        dl2 = jnp.where(pair2, dl2, 0.0)
+        qk = (((2,), (1,)), ((0,), (0,)))
+        dq1_parts.append(jax.lax.dot_general(
+            dl1, k1_h.astype(jnp.float32), qk,
+            preferred_element_type=jnp.float32))
+        dq2_parts.append(jax.lax.dot_general(
+            dl2, k2_h.astype(jnp.float32), qk,
+            preferred_element_type=jnp.float32))
+        dk1_parts.append(jax.lax.dot_general(
+            dl1, q1_h.astype(jnp.float32), pt,
+            preferred_element_type=jnp.float32))
+        dk2_parts.append(jax.lax.dot_general(
+            dl2, q2_h.astype(jnp.float32), pt,
+            preferred_element_type=jnp.float32))
+
+    dq1 = jnp.concatenate(dq1_parts, axis=-1)
+    dq2 = jnp.concatenate(dq2_parts, axis=-1)
+    dk1 = jnp.concatenate(dk1_parts, axis=-1)
+    dk2 = jnp.concatenate(dk2_parts, axis=-1)
+    dv1 = jnp.concatenate(dv1_parts, axis=-1)
+    dv2 = jnp.concatenate(dv2_parts, axis=-1)
+
+    # chain through the in-kernel projections
+    def t_dims():
+        return (((2,), (1,)), ((), ()))  # x @ W^T via contracting W dim 1
+
+    def dgrad(dy, w_ref):
+        return jax.lax.dot_general(
+            dy, w_ref[...].astype(jnp.float32), t_dims(),
+            preferred_element_type=jnp.float32)
+
+    dxq_ref[...] = (dgrad(dq1, wq1_ref)
+                    + dgrad(dq2, wq2_ref)).astype(dxq_ref.dtype)
+    dx1_ref[...] = (dgrad(dk1, wk1_ref)
+                    + dgrad(dv1, wv1_ref)).astype(dx1_ref.dtype)
+    dx2_ref[...] = (dgrad(dk2, wk2_ref)
+                    + dgrad(dv2, wv2_ref)).astype(dx2_ref.dtype)
+
+    # weight/bias grads accumulate across the sequential batch grid
+    @pl.when(b == 0)
+    def _init():
+        for ref in (dwq1_ref, dwq2_ref, dwk1_ref, dwk2_ref, dwv1_ref,
+                    dwv2_ref):
+            ref[...] = jnp.zeros_like(ref)
+        for ref in (dbq1_ref, dbq2_ref, dbk1_ref, dbk2_ref, dbv1_ref,
+                    dbv2_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    def wgrad(x, dy, w_ref, b_ref2):
+        d = x.shape[-1]
+        xf = x.reshape(-1, d).astype(jnp.float32)
+        dyf = dy.reshape(-1, dy.shape[-1])
+        w_ref[...] += jax.lax.dot_general(
+            xf, dyf, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(w_ref.dtype)
+        b_ref2[...] += dyf.sum(0).astype(b_ref2.dtype)
+
+    wgrad(xq, dq1, dwq1_ref, dbq1_ref)
+    wgrad(xq, dq2, dwq2_ref, dbq2_ref)
+    wgrad(x1, dk1, dwk1_ref, dbk1_ref)
+    wgrad(x2, dk2, dwk2_ref, dbk2_ref)
+    wgrad(x1, dv1, dwv1_ref, dbv1_ref)
+    wgrad(x2, dv2, dwv2_ref, dbv2_ref)
+
+
+def _fp_call_fwd(xq, x1, x2, ws, mask_q, mask_1, mask_2,
+                 dropout_rate, seed, deterministic, interpret, scale,
+                 num_heads):
+    B, Lq, d = xq.shape
+    L1, L2 = x1.shape[1], x2.shape[1]
+    H = num_heads
+    Dh = d // H
+    bt = _pick_block_b(B)
+    b3 = lambda L: pl.BlockSpec((bt, L, d), lambda i, *_: (i, 0, 0))
+    b2 = lambda L: pl.BlockSpec((bt, L), lambda i, *_: (i, 0))
+    w_spec = pl.BlockSpec((d, d), lambda i, *_: (0, 0))
+    bias_spec = pl.BlockSpec((1, d), lambda i, *_: (0, 0))
+    kernel = functools.partial(_fp_fwd_kernel, num_heads=H, qk_dim=Dh,
+                               v_dim=Dh, scale=scale,
+                               dropout_rate=dropout_rate,
+                               deterministic=deterministic,
+                               interpret=interpret)
+    in_specs = [b3(Lq), b3(L1), b3(L2)]
+    for _ in range(6):
+        in_specs += [w_spec, bias_spec]
+    in_specs += [b2(Lq), b2(L1), b2(L2)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(B // bt,),
+        in_specs=in_specs, out_specs=b3(Lq))
+    flat_ws = []
+    for w, bias in ws:
+        flat_ws += [w, bias.reshape(1, d)]
+    out = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Lq, d), xq.dtype),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(seed, xq, x1, x2, *flat_ws,
+      mask_q.astype(jnp.int32), mask_1.astype(jnp.int32),
+      mask_2.astype(jnp.int32))
+    return out
+
+
+def _fp_call_bwd(xq, x1, x2, ws, mask_q, mask_1, mask_2, g,
+                 dropout_rate, seed, deterministic, interpret, scale,
+                 num_heads):
+    B, Lq, d = xq.shape
+    L1, L2 = x1.shape[1], x2.shape[1]
+    H = num_heads
+    Dh = d // H
+    bt = _pick_block_b(B)
+    b3 = lambda L: pl.BlockSpec((bt, L, d), lambda i, *_: (i, 0, 0))
+    b2 = lambda L: pl.BlockSpec((bt, L), lambda i, *_: (i, 0))
+    w_spec = pl.BlockSpec((d, d), lambda i, *_: (0, 0))
+    bias_spec = pl.BlockSpec((1, d), lambda i, *_: (0, 0))
+    kernel = functools.partial(_fp_bwd_kernel, num_heads=H, qk_dim=Dh,
+                               v_dim=Dh, scale=scale,
+                               dropout_rate=dropout_rate,
+                               deterministic=deterministic,
+                               interpret=interpret)
+    in_specs = [b3(Lq), b3(L1), b3(L2)]
+    for _ in range(6):
+        in_specs += [w_spec, bias_spec]
+    in_specs += [b2(Lq), b2(L1), b2(L2), b3(Lq)]
+    out_specs = [b3(Lq), b3(L1), b3(L2)]
+    out_shapes = [jax.ShapeDtypeStruct((B, Lq, d), xq.dtype),
+                  jax.ShapeDtypeStruct((B, L1, d), x1.dtype),
+                  jax.ShapeDtypeStruct((B, L2, d), x2.dtype)]
+    for w, bias in ws:
+        out_specs += [w_spec, bias_spec]
+        out_shapes += [jax.ShapeDtypeStruct((d, d), jnp.float32),
+                       jax.ShapeDtypeStruct((1, d), jnp.float32)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(B // bt,),
+        in_specs=in_specs, out_specs=out_specs)
+    flat_ws = []
+    for w, bias in ws:
+        flat_ws += [w, bias.reshape(1, d)]
+    outs = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=out_shapes,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(seed, xq, x1, x2, *flat_ws,
+      mask_q.astype(jnp.int32), mask_1.astype(jnp.int32),
+      mask_2.astype(jnp.int32), g)
+    dxq, dx1, dx2 = outs[0], outs[1], outs[2]
+    dws = []
+    for i in range(6):
+        dws.append((outs[3 + 2 * i], outs[4 + 2 * i].reshape(d)))
+    return dxq, dx1, dx2, dws
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(18, 19, 20, 21, 22))
+def _fused_proj_attention(xq, x1, x2,
+                          wq1, bq1, wq2, bq2, wk1, bk1, wk2, bk2,
+                          wv1, bv1, wv2, bv2, mask_q, mask_1, mask_2,
+                          dropout_rate, deterministic, interpret, scale,
+                          num_heads, seed):
+    ws = [(wq1, bq1), (wq2, bq2), (wk1, bk1), (wk2, bk2), (wv1, bv1),
+          (wv2, bv2)]
+    return _fp_call_fwd(xq, x1, x2, ws, mask_q, mask_1, mask_2,
+                        dropout_rate, seed, deterministic, interpret, scale,
+                        num_heads)
+
+
+def _fp_fwd_rule(xq, x1, x2, wq1, bq1, wq2, bq2, wk1, bk1, wk2, bk2,
+                 wv1, bv1, wv2, bv2, mask_q, mask_1, mask_2,
+                 dropout_rate, deterministic, interpret, scale, num_heads,
+                 seed):
+    out = _fused_proj_attention(xq, x1, x2, wq1, bq1, wq2, bq2, wk1, bk1,
+                                wk2, bk2, wv1, bv1, wv2, bv2, mask_q,
+                                mask_1, mask_2, dropout_rate, deterministic,
+                                interpret, scale, num_heads, seed)
+    res = (xq, x1, x2, wq1, bq1, wq2, bq2, wk1, bk1, wk2, bk2, wv1, bv1,
+           wv2, bv2, mask_q, mask_1, mask_2, seed)
+    return out, res
+
+
+def _fp_bwd_rule(dropout_rate, deterministic, interpret, scale, num_heads,
+                 res, g):
+    (xq, x1, x2, wq1, bq1, wq2, bq2, wk1, bk1, wk2, bk2, wv1, bv1, wv2,
+     bv2, mask_q, mask_1, mask_2, seed) = res
+    ws = [(wq1, bq1), (wq2, bq2), (wk1, bk1), (wk2, bk2), (wv1, bv1),
+          (wv2, bv2)]
+    dxq, dx1, dx2, dws = _fp_call_bwd(
+        xq, x1, x2, ws, mask_q, mask_1, mask_2, g, dropout_rate, seed,
+        deterministic, interpret, scale, num_heads)
+    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    grads = [dxq, dx1, dx2]
+    for (dw, db), (w, bias) in zip(dws, ws):
+        grads += [dw.astype(w.dtype), db.astype(bias.dtype)]
+    grads += [f0(mask_q), f0(mask_1), f0(mask_2), f0(seed)]
+    return tuple(grads)
+
+
+_fused_proj_attention.defvjp(_fp_fwd_rule, _fp_bwd_rule)
+
+
+def fused_proj_two_block_attention(xq, x1, x2, wq1, bq1, wq2, bq2,
+                                   wk1, bk1, wk2, bk2, wv1, bv1, wv2, bv2,
+                                   mask_q, mask_1, mask_2, *,
+                                   num_heads: int,
+                                   dropout_rate: float = 0.0,
+                                   seed: Optional[jax.Array] = None,
+                                   deterministic: bool = True,
+                                   interpret: bool = False,
+                                   scale: Optional[float] = None):
+    """Two-block jointly-normalized attention with the SIX QKV projections
+    computed in-kernel: q1 = xq@wq1+bq1 attends k1 = x1@wk1+bk1 (block 1)
+    and q2 = xq@wq2+bq2 attends k2 = x2@wk2+bk2 (block 2), one softmax over
+    both; values likewise from x1/x2. Neither q/k/v nor dq/dk/dv ever touch
+    HBM; weight gradients accumulate across the sequential batch grid.
+    Returns (B, Lq, d)."""
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    seed = seed.reshape(1).astype(jnp.int32)
+    d = xq.shape[-1]
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(d // num_heads))
+    if not interpret and jax.default_backend() not in ("tpu", "axon"):
+        # composed fallback: XLA projections + materialized attention
+        def pr(x, w, bias):
+            return (x @ w + bias).reshape(
+                x.shape[0], x.shape[1], num_heads, d // num_heads)
+        q, k, v = _two_block_concat(
+            pr(xq, wq1, bq1), pr(xq, wq2, bq2), pr(x1, wk1, bk1),
+            pr(x2, wk2, bk2), pr(x1, wv1, bv1), pr(x2, wv2, bv2))
+        mask_k = jnp.concatenate([mask_1, mask_2], axis=1)
+        out = _attention_reference(q, k, v, mask_q, mask_k, dropout_rate,
+                                   seed, deterministic, scale)
+        return out.reshape(xq.shape[0], xq.shape[1], d)
+    return _fused_proj_attention(
+        xq, x1, x2, wq1, bq1, wq2, bq2, wk1, bk1, wk2, bk2, wv1, bv1,
+        wv2, bv2, mask_q.astype(jnp.int32), mask_1.astype(jnp.int32),
+        mask_2.astype(jnp.int32), float(dropout_rate), bool(deterministic),
+        bool(interpret), float(scale), int(num_heads), seed)

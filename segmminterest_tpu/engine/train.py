@@ -77,7 +77,8 @@ class InterestEngine:
             ablation=config.ablation_type, dtype=dtype, remat=config.remat,
             remat_scope=config.remat_scope,
             fused_attention=config.fused_attention,
-            fuse_projections=config.fuse_projections)
+            fuse_projections=config.fuse_projections,
+            fuse_qkv=config.fuse_qkv)
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(config.grad_clip_norm),
             optax.adamw(config.learning_rate,

@@ -92,6 +92,7 @@ class SegInterestModel(nn.Module):
     fused_attention: bool = False
     interpret: bool = False
     fuse_projections: bool = False
+    fuse_qkv: bool = False
 
     def setup(self):
         dual = (self.user_input == "both") or (self.photo_input == "both")
@@ -111,7 +112,8 @@ class SegInterestModel(nn.Module):
                 remat_scope=self.remat_scope,
                 fused_attention=self.fused_attention,
                 interpret=self.interpret,
-                fuse_projections=self.fuse_projections, name=name)
+                fuse_projections=self.fuse_projections,
+                fuse_qkv=self.fuse_qkv, name=name)
 
         self.backbone1 = make_backbone(u1_id, u1_len, v1_id, "backbone1")
         self.dual = dual

@@ -91,6 +91,20 @@ class MLPBlock(nn.Module):
         return x
 
 
+class _ProjParams(nn.Module):
+    """Declares kernel/bias with nn.Dense-compatible param paths, for use by
+    the projection-fused attention kernel (checkpoints stay interchangeable
+    with the unfused path)."""
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", DENSE_INIT, (self.in_dim, self.out_dim))
+        b = self.param("bias", nn.initializers.zeros, (self.out_dim,))
+        return k, b
+
+
 class FourStreamAttention(nn.Module):
     """v2v / t2v / v2t / t2t attention with per-stream QKV projections and
     concatenated KV for the user<->video cross streams (encoder.py:12-175).
@@ -112,6 +126,10 @@ class FourStreamAttention(nn.Module):
     # become one wide Dense (identical init distribution, one HBM read of
     # the activations instead of six)
     fuse_projections: bool = False
+    # run the 12 QKV projections INSIDE the attention kernel: q/k/v and
+    # dq/dk/dv never materialize in HBM (the memory-bound step's largest
+    # traffic term). Parameter tree identical to the unfused path.
+    fuse_qkv: bool = False
 
     def _split_heads(self, x):
         b, l, _ = x.shape
@@ -123,6 +141,15 @@ class FourStreamAttention(nn.Module):
         d = self.d_model
         dh = d // self.num_heads
 
+        drop = nn.Dropout(self.dropout)
+        ours_path = ("CrossAtt" not in self.ablation
+                     and "SelfAtt" not in self.ablation)
+        if self.fused and self.fuse_qkv and ours_path:
+            # dispatch BEFORE the nn.Dense projections exist — the fused-QKV
+            # path declares the same parameter names itself
+            return self._fused_qkv_forward(vid_feat, vid_mask, usr_feat,
+                                           usr_mask, drop, deterministic)
+
         def proj(name):
             # clones(nn.Linear, 3) -> q/k/v projections (encoder.py:17-20)
             return [nn.Dense(d, kernel_init=DENSE_INIT, dtype=self.dtype,
@@ -133,7 +160,6 @@ class FourStreamAttention(nn.Module):
         v2v = proj("v2v_proj")
         t2t = proj("t2t_proj")
         v2t = proj("v2t_proj")
-        drop = nn.Dropout(self.dropout)
 
         def attn_logits(feat_k, mask_k, feat_q, mask_q, p):
             q = self._split_heads(p[0](feat_q))
@@ -142,9 +168,7 @@ class FourStreamAttention(nn.Module):
 
         # with fuse_projections the 'ours' fused path sources everything from
         # the two wide Denses — don't create the per-stream params at all
-        wide = (self.fused and self.fuse_projections
-                and "CrossAtt" not in self.ablation
-                and "SelfAtt" not in self.ablation)
+        wide = (self.fused and self.fuse_projections and ours_path)
         if wide:
             v2v_value = t2v_value = v2t_value = t2t_value = None
         else:
@@ -204,6 +228,64 @@ class FourStreamAttention(nn.Module):
         vid_feat = nn.LayerNorm(epsilon=LN_EPS, name="ln_vid")(vid_feat + vid_out)
         if "SelfAtt" in self.ablation:
             return vid_feat, None
+        usr_feat = nn.LayerNorm(epsilon=LN_EPS, name="ln_usr")(usr_feat + usr_out)
+        return vid_feat, usr_feat
+
+    def _fused_qkv_forward(self, vid_feat, vid_mask, usr_feat, usr_mask,
+                           drop, deterministic):
+        """'ours' path with all 12 QKV projections inside the Pallas kernel
+        (core/attention.py:fused_proj_two_block_attention)."""
+        import math
+
+        from ..core.attention import fused_proj_two_block_attention
+        d = self.d_model
+        scale = 1.0 / math.sqrt(d // self.num_heads)
+        rate = self.dropout if not deterministic else 0.0
+        if rate > 0:
+            key = self.make_rng("dropout")
+            seed = jax.random.randint(key, (2,), 0, 2 ** 31 - 1, jnp.int32)
+        else:
+            seed = jnp.zeros((2,), jnp.int32)
+
+        def projs(name):
+            return [_ProjParams(d, d, name=f"{name}_{i}")() for i in range(3)]
+
+        t2v = projs("t2v_proj")
+        v2v = projs("v2v_proj")
+        t2t = projs("t2t_proj")
+        v2t = projs("v2t_proj")
+
+        def cast(p):
+            return (p[0].astype(self.dtype), p[1].astype(self.dtype))
+
+        def call(xq, x1, x2, pq1, pq2, pk1, pk2, pv1, pv2, mq, m1, m2, slot):
+            (wq1, bq1), (wq2, bq2) = cast(pq1), cast(pq2)
+            (wk1, bk1), (wk2, bk2) = cast(pk1), cast(pk2)
+            (wv1, bv1), (wv2, bv2) = cast(pv1), cast(pv2)
+            return fused_proj_two_block_attention(
+                xq, x1, x2, wq1, bq1, wq2, bq2, wk1, bk1, wk2, bk2,
+                wv1, bv1, wv2, bv2, mq, m1, m2, num_heads=self.num_heads,
+                dropout_rate=rate, seed=seed[slot],
+                deterministic=deterministic, interpret=self.interpret,
+                scale=scale)
+
+        # vid stream: block1 = v2v (q,k,v of vid), block2 = t2v (q of vid,
+        # k/v of usr); usr stream: block1 = v2t (q of usr, k/v of vid),
+        # block2 = t2t (q,k,v of usr) — same wiring as _fused_forward
+        vid_out = call(vid_feat, vid_feat, usr_feat,
+                       v2v[0], t2v[0], v2v[1], t2v[1], v2v[2], t2v[2],
+                       vid_mask, vid_mask, usr_mask, 0)
+        usr_out = call(usr_feat, vid_feat, usr_feat,
+                       v2t[0], t2t[0], v2t[1], t2t[1], v2t[2], t2t[2],
+                       usr_mask, vid_mask, usr_mask, 1)
+
+        usr_out = drop(nn.Dense(d, kernel_init=DENSE_INIT, dtype=self.dtype,
+                                name="ff_usr")(usr_out),
+                       deterministic=deterministic)
+        vid_out = drop(nn.Dense(d, kernel_init=DENSE_INIT, dtype=self.dtype,
+                                name="ff_vid")(vid_out),
+                       deterministic=deterministic)
+        vid_feat = nn.LayerNorm(epsilon=LN_EPS, name="ln_vid")(vid_feat + vid_out)
         usr_feat = nn.LayerNorm(epsilon=LN_EPS, name="ln_usr")(usr_feat + usr_out)
         return vid_feat, usr_feat
 
@@ -304,6 +386,7 @@ class SegFormerXLayer(nn.Module):
     fused: bool = False
     interpret: bool = False
     fuse_projections: bool = False
+    fuse_qkv: bool = False
     # 'attention' remat scope: recompute only the projections+attention block
     # on backward (its 12 projection outputs dominate live activations; the
     # FFN hiddens stay saved, so backward re-runs ~60% of a layer instead of
@@ -320,6 +403,7 @@ class SegFormerXLayer(nn.Module):
             dropout=self.dropout, ablation=self.ablation, dtype=self.dtype,
             fused=self.fused, interpret=self.interpret,
             fuse_projections=self.fuse_projections,
+            fuse_qkv=self.fuse_qkv,
             name="cross_attn")
         if self.remat_attention:
             vid_feat, usr_feat = attn(vid_feat, vid_mask, usr_feat, usr_mask,
@@ -398,6 +482,8 @@ class SegFormerX(nn.Module):
     # horizontally fuse the 12 per-stream QKV Denses into 2 wide ones
     # (same init distribution; one activation read instead of six)
     fuse_projections: bool = False
+    # QKV projections inside the attention kernel (see FourStreamAttention)
+    fuse_qkv: bool = False
 
     @nn.compact
     def __call__(self, usr_feat, usr_mask, vid_feat, vid_mask, *,
@@ -495,6 +581,7 @@ class SegFormerX(nn.Module):
                 dtype=self.dtype, fused=self.fused_attention,
                 interpret=self.interpret,
                 fuse_projections=self.fuse_projections,
+                fuse_qkv=self.fuse_qkv,
                 remat_attention=(self.remat
                                  and self.remat_scope == "attention"),
                 name=f"layer_{i}")(usr_cur, usr_mask, states[-1], vid_mask,

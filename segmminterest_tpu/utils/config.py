@@ -92,6 +92,9 @@ class InterestConfig:
     # v5e at the flagship config (XLA already shares the activation reads;
     # the 6-way slice of the wide output adds copies), so off by default.
     fuse_projections: bool = False
+    # run the QKV projections inside the attention kernel (q/k/v and their
+    # grads never touch HBM); parameter tree unchanged
+    fuse_qkv: bool = False
     # dropout PRNG implementation: 'rbg' is much faster than 'threefry2x32'
     # on TPU for the large attention-logit dropout masks
     rng_impl: str = "rbg"

@@ -219,3 +219,57 @@ def test_fuse_projections_matches_per_stream(rng):
     assert (jax.tree_util.tree_structure(ref)
             == jax.tree_util.tree_structure(
                 jax.tree_util.tree_map(jnp.asarray, wide_params)))
+
+
+def test_fuse_qkv_matches_unfused(rng):
+    """The projection-fused kernel path shares the unfused path's parameter
+    tree exactly; with identical params the outputs (and input/weight grads)
+    must agree."""
+    import jax
+    import jax.numpy as jnp
+    from segmminterest_tpu.models.segformerx import SegFormerX
+
+    kw = dict(d_model=32, num_heads=4, num_layers=2, ff_dim=32,
+              max_vid_len=12, max_usr_len=9, dropout=0.0,
+              user_id_max=-1, video_id_max=-1, output_layers=[-1])
+    base = SegFormerX(fused_attention=True, interpret=True, **kw)
+    fq = SegFormerX(fused_attention=True, interpret=True, fuse_qkv=True,
+                    **kw)
+    B = 8
+    usr = jnp.asarray(rng.normal(size=(B, 9, 16)), jnp.float32)
+    vid = jnp.asarray(rng.normal(size=(B, 12, 16)), jnp.float32)
+    um = jnp.asarray(rng.random((B, 9)) > 0.2)
+    vm = jnp.asarray(rng.random((B, 12)) > 0.2)
+    params = base.init(jax.random.PRNGKey(0), usr, um, vid, vm,
+                       deterministic=True)["params"]
+    params_fq = fq.init(jax.random.PRNGKey(0), usr, um, vid, vm,
+                        deterministic=True)["params"]
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(params_fq)
+
+    def run(mod, p):
+        states, u = mod.apply({"params": p}, usr, um, vid, vm,
+                              deterministic=True)
+        return states[-1], u
+
+    s0, u0 = run(base, params)
+    s1, u1 = run(fq, params)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u0),
+                               rtol=2e-4, atol=2e-5)
+
+    def loss(mod):
+        def f(p):
+            states, u = mod.apply({"params": p}, usr, um, vid, vm,
+                                  deterministic=True)
+            return (states[-1] ** 2).sum() + (u ** 2).sum()
+        return f
+
+    g0 = jax.grad(loss(base))(params)
+    g1 = jax.grad(loss(fq))(params)
+    flat0, _ = jax.tree_util.tree_flatten(g0)
+    flat1, _ = jax.tree_util.tree_flatten(g1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-4)

@@ -39,6 +39,7 @@ def main():
                    choices=["layer", "attention"])
     p.add_argument("--fused_attention", type=int, default=1)
     p.add_argument("--fuse_projections", type=int, default=0)
+    p.add_argument("--fuse_qkv", type=int, default=0)
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--eval_only", type=int, default=0)
     p.add_argument("--d_model", type=int, default=512)
@@ -67,7 +68,8 @@ def main():
         train_batch_size=args.batch, compute_dtype=args.compute_dtype,
         remat=bool(args.remat), remat_scope=args.remat_scope,
         fused_attention=bool(args.fused_attention),
-        fuse_projections=bool(args.fuse_projections))
+        fuse_projections=bool(args.fuse_projections),
+        fuse_qkv=bool(args.fuse_qkv))
 
     rng = np.random.default_rng(0)
     feat_table = rng.normal(size=(N_LINES, FEAT_DIM)).astype(np.float32)
@@ -121,6 +123,7 @@ def main():
            "remat_scope": args.remat_scope,
            "fused_attention": args.fused_attention,
            "fuse_projections": args.fuse_projections,
+           "fuse_qkv": args.fuse_qkv,
            "eval_only": args.eval_only, "dtype": args.compute_dtype,
            **cost}
     line = json.dumps(rec)
