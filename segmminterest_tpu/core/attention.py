@@ -624,26 +624,36 @@ def _fp_fwd_kernel(seed_ref, xq_ref, x1_ref, x2_ref,
     v2 = _proj(x2, wv2_ref, bv2_ref)
     pair1 = (mq_ref[...][:, :, None] * mk1_ref[...][:, None, :]) > 0
     pair2 = (mq_ref[...][:, :, None] * mk2_ref[...][:, None, :]) > 0
-    for h in range(num_heads):
-        sl = slice(h * qk_dim, (h + 1) * qk_dim)
-        sl_v = slice(h * v_dim, (h + 1) * v_dim)
+
+    def hslice(x, h, w):
+        return jax.lax.dynamic_slice(
+            x, (0, 0, h * w), (x.shape[0], x.shape[1], w))
+
+    # fori_loop instead of a 16-way python unroll: the fully-unrolled body
+    # (projections + per-head attention) wedges the Mosaic compiler
+    def head_body(h, _):
         dims = (((2,), (2,)), ((0,), (0,)))
-        l1 = jax.lax.dot_general(q1[:, :, sl], k1[:, :, sl], dims,
+        l1 = jax.lax.dot_general(hslice(q1, h, qk_dim),
+                                 hslice(k1, h, qk_dim), dims,
                                  preferred_element_type=jnp.float32)
-        l2 = jax.lax.dot_general(q2[:, :, sl], k2[:, :, sl], dims,
+        l2 = jax.lax.dot_general(hslice(q2, h, qk_dim),
+                                 hslice(k2, h, qk_dim), dims,
                                  preferred_element_type=jnp.float32)
         p1, p2, _, _ = _joint_probs(l1, l2, pair1, pair2, scale,
                                     dropout_rate, deterministic, interpret,
                                     seed_ref[0] + b, h)
         av = (((2,), (1,)), ((0,), (0,)))
-        v1_h = v1[:, :, sl_v]
-        v2_h = v2[:, :, sl_v]
-        o_ref[:, :, sl_v] = (
+        v1_h = hslice(v1, h, v_dim)
+        v2_h = hslice(v2, h, v_dim)
+        o_ref[:, :, pl.dslice(h * v_dim, v_dim)] = (
             jax.lax.dot_general(p1.astype(v1_h.dtype), v1_h, av,
                                 preferred_element_type=jnp.float32)
             + jax.lax.dot_general(p2.astype(v2_h.dtype), v2_h, av,
                                   preferred_element_type=jnp.float32)
         ).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, num_heads, head_body, 0)
 
 
 def _fp_bwd_kernel(seed_ref, xq_ref, x1_ref, x2_ref,
@@ -654,7 +664,8 @@ def _fp_bwd_kernel(seed_ref, xq_ref, x1_ref, x2_ref,
                    dxq_ref, dx1_ref, dx2_ref,
                    dwq1_ref, dbq1_ref, dwq2_ref, dbq2_ref,
                    dwk1_ref, dbk1_ref, dwk2_ref, dbk2_ref,
-                   dwv1_ref, dbv1_ref, dwv2_ref, dbv2_ref, *,
+                   dwv1_ref, dbv1_ref, dwv2_ref, dbv2_ref,
+                   sq1, sq2, sk1, sk2, sv1, sv2, *,
                    num_heads, qk_dim, v_dim, scale, dropout_rate,
                    deterministic, interpret):
     b = pl.program_id(0)
@@ -672,16 +683,18 @@ def _fp_bwd_kernel(seed_ref, xq_ref, x1_ref, x2_ref,
     pair1 = (mq_ref[...][:, :, None] * mk1_ref[...][:, None, :]) > 0
     pair2 = (mq_ref[...][:, :, None] * mk2_ref[...][:, None, :]) > 0
 
-    dq1_parts, dq2_parts = [], []
-    dk1_parts, dk2_parts, dv1_parts, dv2_parts = [], [], [], []
-    for h in range(num_heads):
-        sl = slice(h * qk_dim, (h + 1) * qk_dim)
-        sl_v = slice(h * v_dim, (h + 1) * v_dim)
+    def hslice(x, h, w):
+        return jax.lax.dynamic_slice(
+            x, (0, 0, h * w), (x.shape[0], x.shape[1], w))
+
+    # per-head grads land in the VMEM scratch refs (sq1..sv2), filled by a
+    # fori_loop — the unrolled version wedges the Mosaic compiler
+    def head_body(h, _):
         dims = (((2,), (2,)), ((0,), (0,)))
-        q1_h, q2_h = q1[:, :, sl], q2[:, :, sl]
-        k1_h, k2_h = k1[:, :, sl], k2[:, :, sl]
-        v1_h, v2_h = v1[:, :, sl_v], v2[:, :, sl_v]
-        g_h = g_ref[:, :, sl_v].astype(jnp.float32)
+        q1_h, q2_h = hslice(q1, h, qk_dim), hslice(q2, h, qk_dim)
+        k1_h, k2_h = hslice(k1, h, qk_dim), hslice(k2, h, qk_dim)
+        v1_h, v2_h = hslice(v1, h, v_dim), hslice(v2, h, v_dim)
+        g_h = g_ref[:, :, pl.dslice(h * v_dim, v_dim)].astype(jnp.float32)
         l1 = jax.lax.dot_general(q1_h, k1_h, dims,
                                  preferred_element_type=jnp.float32)
         l2 = jax.lax.dot_general(q2_h, k2_h, dims,
@@ -691,43 +704,45 @@ def _fp_bwd_kernel(seed_ref, xq_ref, x1_ref, x2_ref,
             interpret, seed_ref[0] + b, h)
 
         pt = (((1,), (1,)), ((0,), (0,)))
-        dv1_parts.append(jax.lax.dot_general(
-            p1, g_h, pt, preferred_element_type=jnp.float32))
-        dv2_parts.append(jax.lax.dot_general(
-            p2, g_h, pt, preferred_element_type=jnp.float32))
+        sv1[:, :, pl.dslice(h * v_dim, v_dim)] = jax.lax.dot_general(
+            p1, g_h, pt, preferred_element_type=jnp.float32)
+        sv2[:, :, pl.dslice(h * v_dim, v_dim)] = jax.lax.dot_general(
+            p2, g_h, pt, preferred_element_type=jnp.float32)
         dp1 = jax.lax.dot_general(g_h, v1_h.astype(jnp.float32), dims,
                                   preferred_element_type=jnp.float32)
         dp2 = jax.lax.dot_general(g_h, v2_h.astype(jnp.float32), dims,
                                   preferred_element_type=jnp.float32)
-        s = (dp1 * p1).sum(-1, keepdims=True) \
+        ssum = (dp1 * p1).sum(-1, keepdims=True) \
             + (dp2 * p2).sum(-1, keepdims=True)
-        dl1 = p1 * (dp1 - s) * scale
-        dl2 = p2 * (dp2 - s) * scale
+        dl1 = p1 * (dp1 - ssum) * scale
+        dl2 = p2 * (dp2 - ssum) * scale
         if not deterministic and dropout_rate > 0:
             dl1 = jnp.where(keep1, dl1 / (1.0 - dropout_rate), 0.0)
             dl2 = jnp.where(keep2, dl2 / (1.0 - dropout_rate), 0.0)
         dl1 = jnp.where(pair1, dl1, 0.0)
         dl2 = jnp.where(pair2, dl2, 0.0)
         qk = (((2,), (1,)), ((0,), (0,)))
-        dq1_parts.append(jax.lax.dot_general(
+        sq1[:, :, pl.dslice(h * qk_dim, qk_dim)] = jax.lax.dot_general(
             dl1, k1_h.astype(jnp.float32), qk,
-            preferred_element_type=jnp.float32))
-        dq2_parts.append(jax.lax.dot_general(
+            preferred_element_type=jnp.float32)
+        sq2[:, :, pl.dslice(h * qk_dim, qk_dim)] = jax.lax.dot_general(
             dl2, k2_h.astype(jnp.float32), qk,
-            preferred_element_type=jnp.float32))
-        dk1_parts.append(jax.lax.dot_general(
+            preferred_element_type=jnp.float32)
+        sk1[:, :, pl.dslice(h * qk_dim, qk_dim)] = jax.lax.dot_general(
             dl1, q1_h.astype(jnp.float32), pt,
-            preferred_element_type=jnp.float32))
-        dk2_parts.append(jax.lax.dot_general(
+            preferred_element_type=jnp.float32)
+        sk2[:, :, pl.dslice(h * qk_dim, qk_dim)] = jax.lax.dot_general(
             dl2, q2_h.astype(jnp.float32), pt,
-            preferred_element_type=jnp.float32))
+            preferred_element_type=jnp.float32)
+        return 0
 
-    dq1 = jnp.concatenate(dq1_parts, axis=-1)
-    dq2 = jnp.concatenate(dq2_parts, axis=-1)
-    dk1 = jnp.concatenate(dk1_parts, axis=-1)
-    dk2 = jnp.concatenate(dk2_parts, axis=-1)
-    dv1 = jnp.concatenate(dv1_parts, axis=-1)
-    dv2 = jnp.concatenate(dv2_parts, axis=-1)
+    jax.lax.fori_loop(0, num_heads, head_body, 0)
+    dq1 = sq1[...]
+    dq2 = sq2[...]
+    dk1 = sk1[...]
+    dk2 = sk2[...]
+    dv1 = sv1[...]
+    dv2 = sv2[...]
 
     # chain through the in-kernel projections
     def t_dims():
@@ -843,7 +858,13 @@ def _fp_call_bwd(xq, x1, x2, ws, mask_q, mask_1, mask_2, g,
                        jax.ShapeDtypeStruct((1, d), jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=(B // bt,),
-        in_specs=in_specs, out_specs=out_specs)
+        in_specs=in_specs, out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((bt, Lq, d), jnp.float32),
+                        pltpu.VMEM((bt, Lq, d), jnp.float32),
+                        pltpu.VMEM((bt, L1, d), jnp.float32),
+                        pltpu.VMEM((bt, L2, d), jnp.float32),
+                        pltpu.VMEM((bt, L1, d), jnp.float32),
+                        pltpu.VMEM((bt, L2, d), jnp.float32)])
     flat_ws = []
     for w, bias in ws:
         flat_ws += [w, bias.reshape(1, d)]
