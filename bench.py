@@ -148,10 +148,12 @@ def measure(result: dict) -> None:
         train_batch_size=BATCH, compute_dtype="bfloat16",
         # measured on v5e (tools/perf_ab.py): with the native two-block
         # attention kernel, NO remat fits HBM at B=1024 with this table size
-        # and is fastest (2573 ips vs 2251 attention-scope vs 2074 layer).
-        # With the production 3.9M-row table (~7.5 GB resident) use
-        # remat=True remat_scope='layer' (the InterestConfig default).
-        remat=False)
+        # (2573 ips vs 2251 attention-scope vs 2074 layer remat), and the
+        # projection-fused kernel adds ~2.5% on top (2639 ips) while halving
+        # the attention residuals. With the production 3.9M-row table
+        # (~7.5 GB resident) use remat=True remat_scope='layer' (the
+        # InterestConfig default).
+        remat=False, fuse_qkv=True)
 
     rng = np.random.default_rng(0)
     feat_table = rng.normal(size=(N_LINES, FEAT_DIM)).astype(np.float32)

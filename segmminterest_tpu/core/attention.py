@@ -607,7 +607,8 @@ def _fp_fwd_kernel(seed_ref, xq_ref, x1_ref, x2_ref,
                    wq1_ref, bq1_ref, wq2_ref, bq2_ref,
                    wk1_ref, bk1_ref, wk2_ref, bk2_ref,
                    wv1_ref, bv1_ref, wv2_ref, bv2_ref,
-                   mq_ref, mk1_ref, mk2_ref, o_ref, *,
+                   mq_ref, mk1_ref, mk2_ref, o_ref,
+                   sq1, sq2, sk1, sk2, sv1, sv2, *,
                    num_heads, qk_dim, v_dim, scale, dropout_rate,
                    deterministic, interpret):
     b = pl.program_id(0)
@@ -616,44 +617,56 @@ def _fp_fwd_kernel(seed_ref, xq_ref, x1_ref, x2_ref,
     xq = xq_ref[...]
     x1 = x1_ref[...]
     x2 = x2_ref[...]
-    q1 = _proj(xq, wq1_ref, bq1_ref)
-    q2 = _proj(xq, wq2_ref, bq2_ref)
-    k1 = _proj(x1, wk1_ref, bk1_ref)
-    k2 = _proj(x2, wk2_ref, bk2_ref)
-    v1 = _proj(x1, wv1_ref, bv1_ref)
-    v2 = _proj(x2, wv2_ref, bv2_ref)
+    # projections land in VMEM scratch so the fori_loop below can take
+    # per-head slices from REFS (Mosaic has no dynamic_slice on values)
+    sq1[...] = _proj(xq, wq1_ref, bq1_ref)
+    sq2[...] = _proj(xq, wq2_ref, bq2_ref)
+    sk1[...] = _proj(x1, wk1_ref, bk1_ref)
+    sk2[...] = _proj(x2, wk2_ref, bk2_ref)
+    sv1[...] = _proj(x1, wv1_ref, bv1_ref)
+    sv2[...] = _proj(x2, wv2_ref, bv2_ref)
     pair1 = (mq_ref[...][:, :, None] * mk1_ref[...][:, None, :]) > 0
     pair2 = (mq_ref[...][:, :, None] * mk2_ref[...][:, None, :]) > 0
 
-    def hslice(x, h, w):
-        return jax.lax.dynamic_slice(
-            x, (0, 0, h * w), (x.shape[0], x.shape[1], w))
+    # Grouped fori_loop: dynamic lane-dim slices must be 128-aligned on TPU,
+    # so the loop walks groups of 128/qk_dim heads and unrolls statically
+    # inside each 128-wide group slab (a full unroll over all heads wedges
+    # the Mosaic compiler).
+    hpg = max(1, 128 // qk_dim)
+    if num_heads % hpg != 0 or qk_dim * hpg != 128 or v_dim != qk_dim:
+        hpg = num_heads     # small models: one static group
 
-    # fori_loop instead of a 16-way python unroll: the fully-unrolled body
-    # (projections + per-head attention) wedges the Mosaic compiler
-    def head_body(h, _):
-        dims = (((2,), (2,)), ((0,), (0,)))
-        l1 = jax.lax.dot_general(hslice(q1, h, qk_dim),
-                                 hslice(k1, h, qk_dim), dims,
-                                 preferred_element_type=jnp.float32)
-        l2 = jax.lax.dot_general(hslice(q2, h, qk_dim),
-                                 hslice(k2, h, qk_dim), dims,
-                                 preferred_element_type=jnp.float32)
-        p1, p2, _, _ = _joint_probs(l1, l2, pair1, pair2, scale,
-                                    dropout_rate, deterministic, interpret,
-                                    seed_ref[0] + b, h)
-        av = (((2,), (1,)), ((0,), (0,)))
-        v1_h = hslice(v1, h, v_dim)
-        v2_h = hslice(v2, h, v_dim)
-        o_ref[:, :, pl.dslice(h * v_dim, v_dim)] = (
-            jax.lax.dot_general(p1.astype(v1_h.dtype), v1_h, av,
-                                preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(p2.astype(v2_h.dtype), v2_h, av,
-                                  preferred_element_type=jnp.float32)
-        ).astype(o_ref.dtype)
+    def group_body(g, _):
+        dq = pl.dslice(g * hpg * qk_dim, hpg * qk_dim)
+        dv = pl.dslice(g * hpg * v_dim, hpg * v_dim)
+        q1g, q2g = sq1[:, :, dq], sq2[:, :, dq]
+        k1g, k2g = sk1[:, :, dq], sk2[:, :, dq]
+        v1g, v2g = sv1[:, :, dv], sv2[:, :, dv]
+        outs = []
+        for j in range(hpg):
+            sl = slice(j * qk_dim, (j + 1) * qk_dim)
+            sl_v = slice(j * v_dim, (j + 1) * v_dim)
+            dims = (((2,), (2,)), ((0,), (0,)))
+            l1 = jax.lax.dot_general(q1g[:, :, sl], k1g[:, :, sl], dims,
+                                     preferred_element_type=jnp.float32)
+            l2 = jax.lax.dot_general(q2g[:, :, sl], k2g[:, :, sl], dims,
+                                     preferred_element_type=jnp.float32)
+            p1, p2, _, _ = _joint_probs(
+                l1, l2, pair1, pair2, scale, dropout_rate, deterministic,
+                interpret, seed_ref[0] + b, g * hpg + j)
+            av = (((2,), (1,)), ((0,), (0,)))
+            v1_h = v1g[:, :, sl_v]
+            v2_h = v2g[:, :, sl_v]
+            outs.append((
+                jax.lax.dot_general(p1.astype(v1_h.dtype), v1_h, av,
+                                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(p2.astype(v2_h.dtype), v2_h, av,
+                                      preferred_element_type=jnp.float32)
+            ).astype(o_ref.dtype))
+        o_ref[:, :, dv] = jnp.concatenate(outs, axis=-1)
         return 0
 
-    jax.lax.fori_loop(0, num_heads, head_body, 0)
+    jax.lax.fori_loop(0, num_heads // hpg, group_body, 0)
 
 
 def _fp_bwd_kernel(seed_ref, xq_ref, x1_ref, x2_ref,
@@ -665,7 +678,8 @@ def _fp_bwd_kernel(seed_ref, xq_ref, x1_ref, x2_ref,
                    dwq1_ref, dbq1_ref, dwq2_ref, dbq2_ref,
                    dwk1_ref, dbk1_ref, dwk2_ref, dbk2_ref,
                    dwv1_ref, dbv1_ref, dwv2_ref, dbv2_ref,
-                   sq1, sq2, sk1, sk2, sv1, sv2, *,
+                   sq1, sq2, sk1, sk2, sv1, sv2,
+                   pq1, pq2, pk1, pk2, pv1, pv2, *,
                    num_heads, qk_dim, v_dim, scale, dropout_rate,
                    deterministic, interpret):
     b = pl.program_id(0)
@@ -674,69 +688,88 @@ def _fp_bwd_kernel(seed_ref, xq_ref, x1_ref, x2_ref,
     xq = xq_ref[...]
     x1 = x1_ref[...]
     x2 = x2_ref[...]
-    q1 = _proj(xq, wq1_ref, bq1_ref)
-    q2 = _proj(xq, wq2_ref, bq2_ref)
-    k1 = _proj(x1, wk1_ref, bk1_ref)
-    k2 = _proj(x2, wk2_ref, bk2_ref)
-    v1 = _proj(x1, wv1_ref, bv1_ref)
-    v2 = _proj(x2, wv2_ref, bv2_ref)
+    # projections in VMEM scratch (pq*/pk*/pv*) so the head loop can slice
+    # refs (no dynamic_slice on values in Mosaic)
+    pq1[...] = _proj(xq, wq1_ref, bq1_ref)
+    pq2[...] = _proj(xq, wq2_ref, bq2_ref)
+    pk1[...] = _proj(x1, wk1_ref, bk1_ref)
+    pk2[...] = _proj(x2, wk2_ref, bk2_ref)
+    pv1[...] = _proj(x1, wv1_ref, bv1_ref)
+    pv2[...] = _proj(x2, wv2_ref, bv2_ref)
     pair1 = (mq_ref[...][:, :, None] * mk1_ref[...][:, None, :]) > 0
     pair2 = (mq_ref[...][:, :, None] * mk2_ref[...][:, None, :]) > 0
 
-    def hslice(x, h, w):
-        return jax.lax.dynamic_slice(
-            x, (0, 0, h * w), (x.shape[0], x.shape[1], w))
+    # Grouped fori_loop (see _fp_fwd_kernel): 128-lane slabs with static
+    # per-head unrolling inside; per-head grads are concatenated and stored
+    # once per slab into the VMEM scratch refs (sq1..sv2)
+    hpg = max(1, 128 // qk_dim)
+    if num_heads % hpg != 0 or qk_dim * hpg != 128 or v_dim != qk_dim:
+        hpg = num_heads
 
-    # per-head grads land in the VMEM scratch refs (sq1..sv2), filled by a
-    # fori_loop — the unrolled version wedges the Mosaic compiler
-    def head_body(h, _):
-        dims = (((2,), (2,)), ((0,), (0,)))
-        q1_h, q2_h = hslice(q1, h, qk_dim), hslice(q2, h, qk_dim)
-        k1_h, k2_h = hslice(k1, h, qk_dim), hslice(k2, h, qk_dim)
-        v1_h, v2_h = hslice(v1, h, v_dim), hslice(v2, h, v_dim)
-        g_h = g_ref[:, :, pl.dslice(h * v_dim, v_dim)].astype(jnp.float32)
-        l1 = jax.lax.dot_general(q1_h, k1_h, dims,
-                                 preferred_element_type=jnp.float32)
-        l2 = jax.lax.dot_general(q2_h, k2_h, dims,
-                                 preferred_element_type=jnp.float32)
-        p1, p2, keep1, keep2 = _joint_probs(
-            l1, l2, pair1, pair2, scale, dropout_rate, deterministic,
-            interpret, seed_ref[0] + b, h)
+    def group_body(g, _):
+        dqs = pl.dslice(g * hpg * qk_dim, hpg * qk_dim)
+        dvs = pl.dslice(g * hpg * v_dim, hpg * v_dim)
+        q1g, q2g = pq1[:, :, dqs], pq2[:, :, dqs]
+        k1g, k2g = pk1[:, :, dqs], pk2[:, :, dqs]
+        v1g, v2g = pv1[:, :, dvs], pv2[:, :, dvs]
+        gg = g_ref[:, :, dvs].astype(jnp.float32)
+        acc = {k: [] for k in ("dq1", "dq2", "dk1", "dk2", "dv1", "dv2")}
+        for j in range(hpg):
+            sl = slice(j * qk_dim, (j + 1) * qk_dim)
+            sl_v = slice(j * v_dim, (j + 1) * v_dim)
+            dims = (((2,), (2,)), ((0,), (0,)))
+            q1_h, q2_h = q1g[:, :, sl], q2g[:, :, sl]
+            k1_h, k2_h = k1g[:, :, sl], k2g[:, :, sl]
+            v1_h, v2_h = v1g[:, :, sl_v], v2g[:, :, sl_v]
+            g_h = gg[:, :, sl_v]
+            l1 = jax.lax.dot_general(q1_h, k1_h, dims,
+                                     preferred_element_type=jnp.float32)
+            l2 = jax.lax.dot_general(q2_h, k2_h, dims,
+                                     preferred_element_type=jnp.float32)
+            p1, p2, keep1, keep2 = _joint_probs(
+                l1, l2, pair1, pair2, scale, dropout_rate, deterministic,
+                interpret, seed_ref[0] + b, g * hpg + j)
 
-        pt = (((1,), (1,)), ((0,), (0,)))
-        sv1[:, :, pl.dslice(h * v_dim, v_dim)] = jax.lax.dot_general(
-            p1, g_h, pt, preferred_element_type=jnp.float32)
-        sv2[:, :, pl.dslice(h * v_dim, v_dim)] = jax.lax.dot_general(
-            p2, g_h, pt, preferred_element_type=jnp.float32)
-        dp1 = jax.lax.dot_general(g_h, v1_h.astype(jnp.float32), dims,
-                                  preferred_element_type=jnp.float32)
-        dp2 = jax.lax.dot_general(g_h, v2_h.astype(jnp.float32), dims,
-                                  preferred_element_type=jnp.float32)
-        ssum = (dp1 * p1).sum(-1, keepdims=True) \
-            + (dp2 * p2).sum(-1, keepdims=True)
-        dl1 = p1 * (dp1 - ssum) * scale
-        dl2 = p2 * (dp2 - ssum) * scale
-        if not deterministic and dropout_rate > 0:
-            dl1 = jnp.where(keep1, dl1 / (1.0 - dropout_rate), 0.0)
-            dl2 = jnp.where(keep2, dl2 / (1.0 - dropout_rate), 0.0)
-        dl1 = jnp.where(pair1, dl1, 0.0)
-        dl2 = jnp.where(pair2, dl2, 0.0)
-        qk = (((2,), (1,)), ((0,), (0,)))
-        sq1[:, :, pl.dslice(h * qk_dim, qk_dim)] = jax.lax.dot_general(
-            dl1, k1_h.astype(jnp.float32), qk,
-            preferred_element_type=jnp.float32)
-        sq2[:, :, pl.dslice(h * qk_dim, qk_dim)] = jax.lax.dot_general(
-            dl2, k2_h.astype(jnp.float32), qk,
-            preferred_element_type=jnp.float32)
-        sk1[:, :, pl.dslice(h * qk_dim, qk_dim)] = jax.lax.dot_general(
-            dl1, q1_h.astype(jnp.float32), pt,
-            preferred_element_type=jnp.float32)
-        sk2[:, :, pl.dslice(h * qk_dim, qk_dim)] = jax.lax.dot_general(
-            dl2, q2_h.astype(jnp.float32), pt,
-            preferred_element_type=jnp.float32)
+            pt = (((1,), (1,)), ((0,), (0,)))
+            acc["dv1"].append(jax.lax.dot_general(
+                p1, g_h, pt, preferred_element_type=jnp.float32))
+            acc["dv2"].append(jax.lax.dot_general(
+                p2, g_h, pt, preferred_element_type=jnp.float32))
+            dp1 = jax.lax.dot_general(g_h, v1_h.astype(jnp.float32), dims,
+                                      preferred_element_type=jnp.float32)
+            dp2 = jax.lax.dot_general(g_h, v2_h.astype(jnp.float32), dims,
+                                      preferred_element_type=jnp.float32)
+            ssum = (dp1 * p1).sum(-1, keepdims=True) \
+                + (dp2 * p2).sum(-1, keepdims=True)
+            dl1 = p1 * (dp1 - ssum) * scale
+            dl2 = p2 * (dp2 - ssum) * scale
+            if not deterministic and dropout_rate > 0:
+                dl1 = jnp.where(keep1, dl1 / (1.0 - dropout_rate), 0.0)
+                dl2 = jnp.where(keep2, dl2 / (1.0 - dropout_rate), 0.0)
+            dl1 = jnp.where(pair1, dl1, 0.0)
+            dl2 = jnp.where(pair2, dl2, 0.0)
+            qk = (((2,), (1,)), ((0,), (0,)))
+            acc["dq1"].append(jax.lax.dot_general(
+                dl1, k1_h.astype(jnp.float32), qk,
+                preferred_element_type=jnp.float32))
+            acc["dq2"].append(jax.lax.dot_general(
+                dl2, k2_h.astype(jnp.float32), qk,
+                preferred_element_type=jnp.float32))
+            acc["dk1"].append(jax.lax.dot_general(
+                dl1, q1_h.astype(jnp.float32), pt,
+                preferred_element_type=jnp.float32))
+            acc["dk2"].append(jax.lax.dot_general(
+                dl2, q2_h.astype(jnp.float32), pt,
+                preferred_element_type=jnp.float32))
+        sq1[:, :, dqs] = jnp.concatenate(acc["dq1"], axis=-1)
+        sq2[:, :, dqs] = jnp.concatenate(acc["dq2"], axis=-1)
+        sk1[:, :, dqs] = jnp.concatenate(acc["dk1"], axis=-1)
+        sk2[:, :, dqs] = jnp.concatenate(acc["dk2"], axis=-1)
+        sv1[:, :, dvs] = jnp.concatenate(acc["dv1"], axis=-1)
+        sv2[:, :, dvs] = jnp.concatenate(acc["dv2"], axis=-1)
         return 0
 
-    jax.lax.fori_loop(0, num_heads, head_body, 0)
+    jax.lax.fori_loop(0, num_heads // hpg, group_body, 0)
     dq1 = sq1[...]
     dq2 = sq2[...]
     dk1 = sk1[...]
@@ -810,7 +843,13 @@ def _fp_call_fwd(xq, x1, x2, ws, mask_q, mask_1, mask_2,
     in_specs += [b2(Lq), b2(L1), b2(L2)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=(B // bt,),
-        in_specs=in_specs, out_specs=b3(Lq))
+        in_specs=in_specs, out_specs=b3(Lq),
+        scratch_shapes=[pltpu.VMEM((bt, Lq, d), xq.dtype),
+                        pltpu.VMEM((bt, Lq, d), xq.dtype),
+                        pltpu.VMEM((bt, L1, d), xq.dtype),
+                        pltpu.VMEM((bt, L2, d), xq.dtype),
+                        pltpu.VMEM((bt, L1, d), xq.dtype),
+                        pltpu.VMEM((bt, L2, d), xq.dtype)])
     flat_ws = []
     for w, bias in ws:
         flat_ws += [w, bias.reshape(1, d)]
@@ -864,7 +903,13 @@ def _fp_call_bwd(xq, x1, x2, ws, mask_q, mask_1, mask_2, g,
                         pltpu.VMEM((bt, L1, d), jnp.float32),
                         pltpu.VMEM((bt, L2, d), jnp.float32),
                         pltpu.VMEM((bt, L1, d), jnp.float32),
-                        pltpu.VMEM((bt, L2, d), jnp.float32)])
+                        pltpu.VMEM((bt, L2, d), jnp.float32),
+                        pltpu.VMEM((bt, Lq, d), xq.dtype),
+                        pltpu.VMEM((bt, Lq, d), xq.dtype),
+                        pltpu.VMEM((bt, L1, d), xq.dtype),
+                        pltpu.VMEM((bt, L2, d), xq.dtype),
+                        pltpu.VMEM((bt, L1, d), xq.dtype),
+                        pltpu.VMEM((bt, L2, d), xq.dtype)])
     flat_ws = []
     for w, bias in ws:
         flat_ws += [w, bias.reshape(1, d)]
