@@ -211,11 +211,43 @@ def run_reference(workdir, model, epochs, stopping):
                        f"stderr tail: {r.stderr[-3000:]}")
 
 
+def degenerate_last_block_graph(feats, knn_k, batch=1024):
+    """The reference get_knn_adj_mat_batch's ACTUAL output (freedom.py:103-119):
+    only the last block's within-block kNN, with block-LOCAL indices."""
+    import numpy as np
+    n = feats.shape[0]
+    start = (max(0, (n - 1) // batch)) * batch
+    x = feats[start:]
+    x = x / (np.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
+    sim = x @ x.T
+    k = min(knn_k, sim.shape[1])
+    idx = np.argpartition(-sim, kth=k - 1, axis=1)[:, :k]
+    rows = np.repeat(np.arange(len(x), dtype=np.int32), k)
+    cols = idx.reshape(-1).astype(np.int32)
+    deg = np.bincount(rows, minlength=n).astype(np.float64) + 1e-7
+    values = (deg[rows] ** -0.5) * (deg[cols] ** -0.5)
+    edges = np.stack([rows, cols], 1)
+    return edges, values.astype(np.float32)
+
+
 def run_ours(model, feat_path, epochs, stopping, csv_path,
-             min_interactions, num_warmup):
+             min_interactions, num_warmup, degenerate_graph=False):
     import jax
     jax.config.update("jax_platforms", "cpu")
     from segmminterest_tpu.mmrec.main import main as mmrec_main
+
+    if degenerate_graph:
+        import numpy as np
+        import segmminterest_tpu.mmrec.main as mm
+        from segmminterest_tpu.mmrec import graph as g
+        orig = g.knn_item_graph
+        mm_orig = mm.knn_item_graph
+
+        def patched(feats, knn_k, batch=1024):
+            return degenerate_last_block_graph(np.asarray(feats), knn_k,
+                                               batch)
+        g.knn_item_graph = patched
+        mm.knn_item_graph = patched
     h = HYPERS[model]
     argv = ["--model", model, "--inter_csv", csv_path,
             "--min_interactions", str(min_interactions),
@@ -239,6 +271,12 @@ def main():
     p.add_argument("--workdir", default="/tmp/mmrec_parity")
     p.add_argument("--side", choices=["both", "ref", "ours"], default="both")
     p.add_argument("--video_mod", type=int, default=1)
+    p.add_argument("--ours_degenerate_graph", type=int, default=0,
+                   help="FREEDOM only: give OUR side the reference's literal "
+                        "buggy mm graph (last 1024-item block's kNN pattern "
+                        "remapped to items 0..block-1 — freedom.py:103-119, "
+                        "PARITY S5) to isolate how much of the FREEDOM gap "
+                        "the degenerate graph explains")
     p.add_argument("--min_interactions", type=int, default=30)
     p.add_argument("--num_warmup", type=int, default=10)
     args = p.parse_args()
@@ -258,7 +296,8 @@ def main():
     if args.side in ("both", "ours"):
         ours = run_ours(args.model, feat_path, args.epochs,
                         args.stopping_step, csv_path,
-                        args.min_interactions, args.num_warmup)
+                        args.min_interactions, args.num_warmup,
+                        degenerate_graph=bool(args.ours_degenerate_graph))
         out["ours_test"] = ours["best_test_upon_valid"]
         print("ours best-test-upon-valid:", ours["best_test_upon_valid"])
     print("PARITY_RESULT " + json.dumps(out, default=float))
