@@ -79,6 +79,8 @@ class FeedBuilder:
                  augment_history: bool = False,
                  beta_a: int = 3, beta_b: int = 3,
                  session_graph: bool = False,
+                 s3rec_pretrain: bool = False,
+                 s3rec_mask_ratio: float = 0.2,
                  test_all: bool = False,
                  clip_weights: Optional[ClipWeights] = None,
                  feature_store=None, seed: int = 0):
@@ -92,6 +94,25 @@ class FeedBuilder:
         self.augment_history = augment_history
         self.beta_a, self.beta_b = beta_a, beta_b
         self.session_graph = session_graph
+        self.s3rec_pretrain = s3rec_pretrain and phase == "train"
+        self.s3rec_mask_ratio = s3rec_mask_ratio
+        if self.s3rec_pretrain:
+            # S3Rec pretrain corpus (developing/S3Rec.py:118-131): every user
+            # history chopped into history_max-length chunks, plus the global
+            # concatenated sequence for negative segment sampling
+            hmax = history_max
+            chunks, lens = [], []
+            long_seq = []
+            for uid in sorted(corpus.user_his_items):
+                inst = [int(x) for x in corpus.user_his_items[uid]]
+                long_seq.extend(inst)
+                for i0 in range((len(inst) - 1) // hmax + 1):
+                    tr = inst[i0 * hmax:(i0 + 1) * hmax]
+                    chunks.append(tr + [0] * (hmax - len(tr)))
+                    lens.append(len(tr))
+            self.s3_item_seq = np.asarray(chunks, np.int64)
+            self.s3_seq_len = np.asarray(lens, np.int32)
+            self.s3_long_seq = np.asarray(long_seq, np.int64)
         self.test_all = test_all
         self.hist_neg = None
         self.clip_weights = clip_weights
@@ -174,14 +195,64 @@ class FeedBuilder:
         return seq[idx2]
 
     def __len__(self) -> int:
+        if self.s3rec_pretrain:
+            return len(self.s3_item_seq)
         return len(self.user_id)
 
     # ------------------------------------------------------------------
+    def _s3rec_batch(self, idx: np.ndarray, B: int):
+        """Masked-item + segment-prediction views (S3Rec.py:143-165)."""
+        hmax = self.s3_item_seq.shape[1]
+        mask_token = self.corpus.n_items
+        out = {k: np.zeros((B, hmax), np.int64)
+               for k in ("mask_seq", "pos_item", "neg_item", "mask_seg_seq",
+                         "pos_seg", "neg_seg")}
+        seq_len = np.zeros(B, np.int32)
+        row_mask = np.zeros(B, bool)
+        for r, ri in enumerate(idx):
+            n = int(self.s3_seq_len[ri])
+            seq = list(self.s3_item_seq[ri, :n])
+            seq_set = set(seq)
+
+            def neg():
+                it = int(self.rng.integers(1, self.corpus.n_items))
+                while it in seq_set:
+                    it = int(self.rng.integers(1, self.corpus.n_items))
+                return it
+
+            mask_seq, pos_item, neg_item = list(seq), list(seq), list(seq)
+            for j in range(n):
+                if self.rng.random() < self.s3rec_mask_ratio:
+                    mask_seq[j] = mask_token
+                    neg_item[j] = neg()
+            if n < 2:
+                mseg, pseg, nseg = list(seq), list(seq), list(seq)
+            else:
+                sl = int(self.rng.integers(1, n // 2 + 1))
+                st = int(self.rng.integers(0, n - sl))
+                nst = int(self.rng.integers(0, len(self.s3_long_seq) - sl))
+                pos_segment = seq[st:st + sl]
+                neg_segment = list(self.s3_long_seq[nst:nst + sl])
+                mseg = seq[:st] + [mask_token] * sl + seq[st + sl:]
+                pseg = [mask_token] * st + pos_segment                     + [mask_token] * (n - st - sl)
+                nseg = [mask_token] * st + neg_segment                     + [mask_token] * (n - st - sl)
+            for key, vals in (("mask_seq", mask_seq), ("pos_item", pos_item),
+                              ("neg_item", neg_item), ("mask_seg_seq", mseg),
+                              ("pos_seg", pseg), ("neg_seg", nseg)):
+                out[key][r, :len(vals)] = vals
+            seq_len[r] = n
+            row_mask[r] = True
+        out["seq_len"] = seq_len
+        out["row_mask"] = row_mask
+        return out
+
     def actions_before_epoch(self):
         """Per-epoch negative sampling with clicked-set rejection
         (GeneralModel.Dataset.actions_before_epoch, BaseModel.py:292-300);
         with ``neg_history``, also one uniform negative per history position
         excluding the positive there (DIEN.py:206-216)."""
+        if self.s3rec_pretrain:
+            return  # no negative candidate sampling in pretrain (S3Rec.py:133-136)
         if self.neg_history and self.include_history \
                 and self.phase == "train":
             neg_h = self.rng.integers(1, self.corpus.n_items,
@@ -233,7 +304,11 @@ class FeedBuilder:
             self.rng.shuffle(order)
         for start in range(0, len(order), batch_size):
             idx = order[start:start + batch_size]
-            yield self._assemble(idx, batch_size if pad_final else len(idx))
+            B = batch_size if pad_final else len(idx)
+            if self.s3rec_pretrain:
+                yield self._s3rec_batch(idx, B)
+            else:
+                yield self._assemble(idx, B)
 
     def _assemble(self, idx: np.ndarray, B: int) -> Dict[str, np.ndarray]:
         corpus = self.corpus

@@ -29,7 +29,7 @@ logger = logging.getLogger(__name__)
 SEQ_MODELS = {"DIN", "DIEN", "CAN", "SDIM", "ETA", "ClipDINRec", "ClipDIENRec",
               "ClipCANRec", "SASRec", "GRU4Rec", "Caser", "NARM", "FPMC",
               "TiSASRec", "ComiRec", "ETA", "ContraRec", "TiMiRec",
-              "SRGNN", "CLRec", "FourierTA"}
+              "SRGNN", "CLRec", "FourierTA", "S3Rec"}
 
 
 def build_parser():
@@ -73,6 +73,12 @@ def build_parser():
                         "(ReChorus main.py --train 0)")
     p.add_argument("--narm_hidden_size", type=int, default=100)
     p.add_argument("--narm_attention_size", type=int, default=50)
+    p.add_argument("--s3rec_stage", type=int, default=2,
+                   help="1: self-supervised pretrain (save via --model_path);"
+                        " 2: finetune (load pretrain via --load 1)")
+    p.add_argument("--mip_weight", type=float, default=0.2)
+    p.add_argument("--sp_weight", type=float, default=0.5)
+    p.add_argument("--mask_ratio", type=float, default=0.2)
     p.add_argument("--t_scalar", type=int, default=60,
                    help="FourierTA time-interval scalar")
     p.add_argument("--timirec_stage", type=str, default="finetune",
@@ -228,6 +234,11 @@ def build_model(args, corpus, use_frames):
                    emb_size=args.emb_size, encoder=args.contrarec_encoder,
                    history_max=args.history_max, gamma=args.contrarec_gamma,
                    ccc_temp=args.ccc_temp, dropout=args.dropout)
+    if name == "S3Rec":
+        return cls(user_num=corpus.n_users, item_num=corpus.n_items,
+                   emb_size=args.emb_size, history_max=args.history_max,
+                   mip_weight=args.mip_weight, sp_weight=args.sp_weight,
+                   dropout=args.dropout)
     if name == "CLRec":
         return cls(user_num=corpus.n_users, item_num=corpus.n_items,
                    emb_size=args.emb_size, temp=args.ccc_temp,
@@ -406,6 +417,10 @@ def main(argv=None):
             neg_history=(args.alpha_aux > 0 and include_history),
             augment_history=(args.model_name == "ContraRec"),
             session_graph=(args.model_name == "SRGNN"),
+            s3rec_pretrain=(args.model_name == "S3Rec"
+                            and args.s3rec_stage == 1
+                            and phase == "train"),
+            s3rec_mask_ratio=args.mask_ratio,
             beta_a=args.beta_a, beta_b=args.beta_b,
             test_all=bool(args.test_all) and phase != "train"
             and task == "ranking",
@@ -428,7 +443,9 @@ def main(argv=None):
             "BCE" if task == "ctr"
             else "BUIR" if args.model_name == "BUIR"
             else "ContraRec" if args.model_name == "ContraRec"
-            else "CLRec" if args.model_name == "CLRec" else "BPR"),
+            else "CLRec" if args.model_name == "CLRec"
+            else "S3Rec" if (args.model_name == "S3Rec"
+                             and args.s3rec_stage == 1) else "BPR"),
         ctc_temp=args.ctc_temp,
         auxillary_loss_weight=args.auxillary_loss_weight,
         seed=args.random_seed)

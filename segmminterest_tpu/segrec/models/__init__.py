@@ -22,8 +22,8 @@ from .general import (BPRMFModel, BUIRModel, DirectAUModel, LightGCNModel,
                       NeuMFModel, POPModel)
 from .sequential import (CaserModel, CLRecModel, ComiRecModel,
                          ContraRecModel, FourierTAModel, FPMCModel,
-                         GRU4RecModel, NARMModel, SASRecModel, SRGNNModel,
-                         TiMiRecModel, TiSASRecModel)
+                         GRU4RecModel, NARMModel, S3RecModel, SASRecModel,
+                         SRGNNModel, TiMiRecModel, TiSASRecModel)
 from .deepfm import AFMModel, DeepFMModel, XDeepFMModel
 from .sam import SAMModel
 
@@ -46,6 +46,7 @@ MODEL_REGISTRY = {
     "SRGNN": SRGNNModel,
     "CLRec": CLRecModel,
     "FourierTA": FourierTAModel,
+    "S3Rec": S3RecModel,
     "FM": FMModel,
     "WideDeep": WideDeepModel,
     "DeepFM": DeepFMModel,

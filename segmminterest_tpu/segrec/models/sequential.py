@@ -780,3 +780,97 @@ class FourierTAModel(nn.Module):
         i_bias = embed(self.item_num, 1, "item_bias",
                        self.dtype)(i_ids).squeeze(-1)
         return ((u_vectors[:, None, :] + context) * i_vectors).sum(-1) + i_bias
+
+
+class S3RecModel(nn.Module):
+    """S3Rec (developing/S3Rec.py): self-supervised pretrain + finetune.
+
+    Pretrain (feed carries mask_seq/.../seq_len from the feed builder's
+    chunked-sequence corpus): masked-item prediction — sigmoid bilinear score
+    of the encoder output vs positive/negative item embeddings at masked
+    positions — and segment prediction — encoder(context with a masked span)
+    vs encoder(positive/negative segment), both as BCE-toward-1 of
+    sigmoid(pos - neg), summed and weighted by mip/sp weights (:59-113).
+    Losses are sown; runner loss_n='S3Rec' contributes zero. Finetune/eval is
+    a BERT4Rec scorer; the pretrained weights arrive via --model_path +
+    --load 1 (partial restore). The item table has a mask-token row at
+    item_num."""
+    user_num: int
+    item_num: int
+    emb_size: int = 64
+    num_layers: int = 2
+    num_heads: int = 2
+    mip_weight: float = 0.2
+    sp_weight: float = 0.5
+    history_max: int = 20
+    dropout: float = 0.2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feed, *, deterministic: bool = True):
+        E = self.emb_size
+        i_embeddings = embed(self.item_num + 1, E, "i_embeddings", self.dtype)
+        p_emb = embed(self.history_max + 1, E, "p_embeddings", self.dtype)
+        blocks = [_TransformerBlock(E, E, self.num_heads, self.dropout,
+                                    dtype=self.dtype, name=f"block_{b}")
+                  for b in range(self.num_layers)]
+        in_ln = nn.LayerNorm(name="layer_norm")
+        drop = nn.Dropout(self.dropout)
+
+        def encode(seq_ids, lengths):
+            his = i_embeddings(seq_ids)
+            B, L, _ = his.shape
+            valid = jnp.arange(L)[None, :] < lengths[:, None]
+            position = jnp.arange(L)[None, :] * valid.astype(jnp.int32)
+            x = his + p_emb(position)
+            x = drop(in_ln(x), deterministic=deterministic)
+            attn_mask = valid[:, None, None, :]
+            for block in blocks:
+                x = block(x, attn_mask, deterministic=deterministic)
+            x = x * valid[:, :, None].astype(x.dtype)
+            return x, valid
+
+        def last(x, lengths):
+            idx = jnp.clip(lengths - 1, 0, x.shape[1] - 1)
+            return jnp.take_along_axis(
+                x, idx[:, None, None].repeat(E, 2), axis=1)[:, 0]
+
+        if "mask_seq" in feed:   # pretrain batch
+            lengths = feed["seq_len"].astype(jnp.int32)
+            rm = feed["row_mask"].astype(self.dtype)
+            mask_token = self.item_num
+            seq_out, valid = encode(feed["mask_seq"].astype(jnp.int32),
+                                    lengths)
+            mip_n = dense(E, "mip_norm", dtype=self.dtype)
+            pos_v = i_embeddings(feed["pos_item"].astype(jnp.int32))
+            neg_v = i_embeddings(feed["neg_item"].astype(jnp.int32))
+            pos_score = jax.nn.sigmoid((mip_n(seq_out) * pos_v).sum(-1))
+            neg_score = jax.nn.sigmoid((mip_n(seq_out) * neg_v).sum(-1))
+            mip_dis = jax.nn.sigmoid(pos_score - neg_score)
+            mip_mask = ((feed["mask_seq"] == mask_token)
+                        & valid).astype(self.dtype) * rm[:, None]
+            mip_loss = (-jnp.log(jnp.clip(mip_dis, 1e-7, 1.0))
+                        * mip_mask).sum()
+
+            sp_n = dense(E, "sp_norm", dtype=self.dtype)
+            ctx = last(encode(feed["mask_seg_seq"].astype(jnp.int32),
+                              lengths)[0], lengths)
+            pos_seg = last(encode(feed["pos_seg"].astype(jnp.int32),
+                                  lengths)[0], lengths)
+            neg_seg = last(encode(feed["neg_seg"].astype(jnp.int32),
+                                  lengths)[0], lengths)
+            ps = jax.nn.sigmoid((sp_n(ctx) * pos_seg).sum(-1))
+            ns = jax.nn.sigmoid((sp_n(ctx) * neg_seg).sum(-1))
+            sp_dis = jax.nn.sigmoid(ps - ns)
+            sp_loss = (-jnp.log(jnp.clip(sp_dis, 1e-7, 1.0)) * rm).sum()
+
+            self.sow("losses", "s3rec_pretrain",
+                     self.mip_weight * mip_loss + self.sp_weight * sp_loss)
+            return jnp.zeros((feed["mask_seq"].shape[0], 1), self.dtype)
+
+        lengths = feed["lengths"].astype(jnp.int32)
+        i_ids = feed["item_id"].astype(jnp.int32)
+        his_vector = last(encode(feed["history_item_id"].astype(jnp.int32),
+                                 lengths)[0], lengths)
+        i_vectors = i_embeddings(i_ids)
+        return (his_vector[:, None, :] * i_vectors).sum(-1)

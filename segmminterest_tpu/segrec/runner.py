@@ -265,6 +265,9 @@ class RankingRunner:
             # (BaseRunner.py:199-208)
             predictions = jnp.take_along_axis(predictions,
                                               batch["unshuffle"], axis=1)
+        if self.cfg.loss_n == "S3Rec":
+            # pretrain: the sown mip+sp losses ARE the objective
+            return jnp.asarray(0.0, jnp.float32)
         if self.cfg.loss_n == "CLRec":
             # the in-batch InfoNCE sown by the model IS the objective
             # (CLRec.py:61-63); nothing prediction-based is added
@@ -381,7 +384,7 @@ class RankingRunner:
         builder.actions_before_epoch()
         losses = []
         for feed in builder.batches(self.cfg.batch_size, shuffle=True):
-            if self.task == "ranking":
+            if self.task == "ranking" and "item_id" in feed:
                 feed_s, perm = self._shuffled_batch(feed)
             else:
                 feed_s, perm = feed, None

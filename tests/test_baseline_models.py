@@ -66,6 +66,9 @@ def build(name, rng):
                    num_heads=2, history_max=6)
     if name == "FourierTA":
         return cls(user_num=N_USERS, item_num=N_ITEMS, emb_size=8)
+    if name == "S3Rec":
+        return cls(user_num=N_USERS, item_num=N_ITEMS, emb_size=8,
+                   num_heads=2, history_max=6)
     if name.startswith("TiMiRec"):
         return MODEL_REGISTRY["TiMiRec"](
             user_num=N_USERS, item_num=N_ITEMS, emb_size=8, attn_size=4,
@@ -79,7 +82,7 @@ def build(name, rng):
                                   "NARM", "FPMC", "TiSASRec", "ComiRec",
                                   "BUIR", "ContraRec", "TiMiRec-pre",
                                   "TiMiRec", "SRGNN", "CLRec",
-                                  "FourierTA"])
+                                  "FourierTA", "S3Rec"])
 def test_baseline_forward(rng, name):
     model = build(name, rng)
     name = name.split("-")[0]
@@ -258,3 +261,70 @@ def test_interest_topk_matches_fork(rng, mask):
     for k in want:
         np.testing.assert_allclose(got[k], want[k], rtol=1e-6,
                                    err_msg=f"mask={mask}:{k}")
+
+
+def test_s3rec_pretrain_forward(rng):
+    """S3Rec self-supervised stage (developing/S3Rec.py:59-113): masked-item
+    + segment-prediction BCE terms sown into 'losses'; padded rows
+    (row_mask=0) contribute nothing."""
+    model = MODEL_REGISTRY["S3Rec"](user_num=N_USERS, item_num=N_ITEMS,
+                                    emb_size=8, num_heads=2, history_max=6)
+    B, L = 4, 6
+    mask_token = N_ITEMS
+    feed = {
+        "mask_seq": jnp.asarray(rng.integers(0, N_ITEMS, size=(B, L))
+                                .astype(np.int32)).at[:, 2].set(mask_token),
+        "pos_item": jnp.asarray(rng.integers(1, N_ITEMS, size=(B, L))),
+        "neg_item": jnp.asarray(rng.integers(1, N_ITEMS, size=(B, L))),
+        "mask_seg_seq": jnp.asarray(rng.integers(1, N_ITEMS, size=(B, L))),
+        "pos_seg": jnp.asarray(rng.integers(1, N_ITEMS, size=(B, L))),
+        "neg_seg": jnp.asarray(rng.integers(1, N_ITEMS, size=(B, L))),
+        "seq_len": jnp.asarray([3, 6, 4, 5]),
+        "row_mask": jnp.asarray([True, True, True, False]),
+    }
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, feed,
+                           deterministic=True)
+    variables = {"params": variables["params"]}
+    _, mut = model.apply(variables, feed, deterministic=False,
+                         rngs={"dropout": jax.random.PRNGKey(2)},
+                         mutable=["losses"])
+    (loss,) = mut["losses"]["s3rec_pretrain"]
+    assert np.isfinite(float(loss)) and float(loss) > 0
+
+    # a padded row must not change the objective
+    feed_live = dict(feed)
+    feed_live["row_mask"] = jnp.asarray([True, True, True, True])
+    _, mut2 = model.apply(variables, feed_live, deterministic=False,
+                          rngs={"dropout": jax.random.PRNGKey(2)},
+                          mutable=["losses"])
+    (loss2,) = mut2["losses"]["s3rec_pretrain"]
+    assert float(loss2) != float(loss)  # row 3 now counts
+
+
+def test_s3rec_feed_builder(segrec_data):
+    """Pretrain feed assembly (S3Rec._get_mask_seq): mask token = n_items,
+    negatives never collide with the positive at masked positions, segment
+    splice keeps unmasked context identical."""
+    from segmminterest_tpu.segrec.corpus import Corpus
+    from segmminterest_tpu.segrec.feeds import FeedBuilder
+    corpus = Corpus(segrec_data, "SegMM")
+    fb = FeedBuilder(corpus, "train", task="ranking", num_neg=1,
+                     history_max=8, include_history=True,
+                     s3rec_pretrain=True, s3rec_mask_ratio=0.5, seed=3)
+    batch = next(fb.batches(16, shuffle=True))
+    n_items = corpus.n_items
+    for k in ("mask_seq", "pos_item", "neg_item", "mask_seg_seq",
+              "pos_seg", "neg_seg", "seq_len", "row_mask"):
+        assert k in batch, k
+    assert batch["mask_seq"].shape == (16, 8)
+    masked = batch["mask_seq"] == n_items
+    live = batch["row_mask"].astype(bool)
+    assert masked[live].any()
+    # at masked positions the negative differs from the positive
+    bad = (batch["neg_item"] == batch["pos_item"]) & masked
+    assert not bad[live].any()
+    # valid positions hold real item ids
+    L = batch["mask_seq"].shape[1]
+    valid = np.arange(L)[None, :] < batch["seq_len"][:, None]
+    assert (batch["mask_seq"][live] * valid[live] <= n_items).all()

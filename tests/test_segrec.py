@@ -73,7 +73,7 @@ def build_model(name, cls, use_frames):
 CONTEXT_MODELS = sorted(set(MODEL_REGISTRY) - {
     "BPRMF", "NeuMF", "LightGCN", "DirectAU", "POP", "BUIR",
     "SASRec", "GRU4Rec", "Caser", "NARM", "FPMC", "TiSASRec", "ComiRec",
-    "ContraRec", "TiMiRec", "SRGNN", "CLRec", "FourierTA"})
+    "ContraRec", "TiMiRec", "SRGNN", "CLRec", "FourierTA", "S3Rec"})
 
 
 @pytest.mark.parametrize("name", CONTEXT_MODELS)
@@ -325,3 +325,27 @@ def test_clip_weights_freedom_keys_and_neg_table(tmp_path):
     json.dump({"70-990-5": [0.1] * 40}, open(fp2, "w"))
     cw2 = ClipWeights(str(fp2), id2user={"7": "70"}, id2item={"99": "990"})
     np.testing.assert_allclose(cw2.target_slice(7, 99, 5), np.full(40, 0.1))
+
+
+@pytest.mark.slow
+def test_s3rec_two_stage_end_to_end(segrec_data, tmp_path):
+    """S3Rec's two-stage protocol (developing/S3Rec.py docstring: pretrain
+    with --s3rec_stage 1 saving via --model_path, then finetune with
+    --load 1 absorbing the pretrained encoder via partial restore)."""
+    from segmminterest_tpu.segrec.main import main as segrec_main
+    ckpt = str(tmp_path / "s3rec_pre.msgpack")
+    pre = segrec_main(["--model_name", "S3Rec", "--model_mode", "Ranking",
+                       "--path", segrec_data, "--dataset", "SegMM",
+                       "--epoch", "1", "--batch_size", "128",
+                       "--emb_size", "16", "--history_max", "8",
+                       "--s3rec_stage", "1", "--model_path", ckpt,
+                       "--topk", "3,5"])
+    import os
+    assert os.path.exists(ckpt)
+    fin = segrec_main(["--model_name", "S3Rec", "--model_mode", "Ranking",
+                       "--path", segrec_data, "--dataset", "SegMM",
+                       "--epoch", "1", "--batch_size", "128",
+                       "--emb_size", "16", "--history_max", "8",
+                       "--s3rec_stage", "2", "--model_path", ckpt,
+                       "--load", "1", "--topk", "3,5"])
+    assert 0.0 <= fin["test"]["HR@3"] <= 1.0
