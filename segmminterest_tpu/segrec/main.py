@@ -36,7 +36,7 @@ def build_parser():
     p = argparse.ArgumentParser()
     p.add_argument("--model_name", type=str, default="ClipWDRec")
     p.add_argument("--model_mode", type=str, default="CTR",
-                   choices=["CTR", "Ranking", "TopK"])
+                   choices=["CTR", "Ranking", "TopK", "Impression"])
     p.add_argument("--path", type=str, default="data")
     p.add_argument("--dataset", type=str, default="SegMM_CTR")
     p.add_argument("--sep", type=str, default="\t")
@@ -73,6 +73,17 @@ def build_parser():
                         "(ReChorus main.py --train 0)")
     p.add_argument("--narm_hidden_size", type=int, default=100)
     p.add_argument("--narm_attention_size", type=int, default=50)
+    p.add_argument("--train_max_pos_item", type=int, default=20)
+    p.add_argument("--train_max_neg_item", type=int, default=20)
+    p.add_argument("--n_blocks", type=int, default=4)
+    p.add_argument("--num_hidden_unit", type=int, default=64)
+    p.add_argument("--setrank_type", type=str, default="IMSAB")
+    p.add_argument("--ranker_name", type=str, default="BPRMF",
+                   help="Impression mode: base ranker for rerankers")
+    p.add_argument("--ranker_emb_size", type=int, default=64)
+    p.add_argument("--ranker_model_path", type=str, default="",
+                   help="pretrained base-ranker msgpack (rerankers)")
+    p.add_argument("--tuneranker", type=int, default=0)
     p.add_argument("--s3rec_stage", type=int, default=2,
                    help="1: self-supervised pretrain (save via --model_path);"
                         " 2: finetune (load pretrain via --load 1)")
@@ -380,10 +391,116 @@ def build_model(args, corpus, use_frames):
     raise ValueError(f"unknown model {name}")
 
 
+def run_impression(args):
+    """Impression/reranking flow (ReChorus main.py with ImpressionReader/
+    ImpressionRunner): base rankers (BPRMF/SASRec Impression variants) train
+    directly on impression lists; rerankers (PRM/SetRank/MIR) wrap a frozen
+    pretrained ranker restored from --ranker_model_path."""
+    from .rerank import (IMPRESSION_RANKERS, RERANKERS,
+                         ImpressionFeedBuilder, make_impression_runner)
+    corpus = Corpus(args.path, args.dataset, sep=args.sep)
+    pos_len, neg_len = args.train_max_pos_item, args.train_max_neg_item
+    is_reranker = args.model_name in RERANKERS
+    seq_needed = (args.model_name == "MIR"
+                  or (is_reranker and args.ranker_name == "SASRec")
+                  or args.model_name == "SASRec")
+    history_max = args.history_max if seq_needed else 0
+
+    builders = {
+        phase: ImpressionFeedBuilder(
+            corpus, phase, pos_len=pos_len, neg_len=neg_len,
+            history_max=history_max, seed=args.random_seed)
+        for phase in ("train", "dev", "test")}
+
+    def make_ranker(name, emb):
+        cls = IMPRESSION_RANKERS[name]
+        kw = dict(user_num=corpus.n_users, item_num=corpus.n_items,
+                  emb_size=emb)
+        if name == "SASRec":
+            kw.update(num_heads=args.num_heads,
+                      history_max=args.history_max)
+        return cls(**kw)
+
+    if is_reranker:
+        ranker = make_ranker(args.ranker_name, args.ranker_emb_size)
+        cls = RERANKERS[args.model_name]
+        kw = dict(item_num=corpus.n_items, ranker=ranker,
+                  ranker_emb_size=args.ranker_emb_size,
+                  pos_len=pos_len, neg_len=neg_len,
+                  emb_size=args.emb_size, num_heads=args.num_heads,
+                  num_hidden_unit=args.num_hidden_unit,
+                  dropout=args.dropout, tuneranker=bool(args.tuneranker))
+        if args.model_name in ("PRM", "SetRank"):
+            kw["n_blocks"] = args.n_blocks
+        if args.model_name == "SetRank":
+            kw["setrank_type"] = args.setrank_type
+        model = cls(**kw)
+    else:
+        model = make_ranker(args.model_name, args.emb_size)
+
+    metrics = args.metric or "NDCG,MAP,HR"
+    cfg = RunnerConfig(
+        epoch=args.epoch, early_stop=args.early_stop, lr=args.lr,
+        l2=args.l2, batch_size=args.batch_size,
+        eval_batch_size=args.eval_batch_size, optimizer=args.optimizer,
+        topk=tuple(int(x) for x in args.topk.split(",")),
+        metrics=tuple(m.strip().upper() for m in metrics.split(",")),
+        main_metric=args.main_metric,
+        loss_n=args.loss_n or "BPRsession", seed=args.random_seed)
+    runner = make_impression_runner(model, cfg, pos_len, neg_len)
+
+    if is_reranker and args.ranker_model_path:
+        example = next(builders["train"].batches(cfg.batch_size))
+        state = runner.init_state(example)
+        state = runner.load_ranker(state, args.ranker_model_path)
+        best_state, history = (
+            _impression_train_from(runner, builders, state)
+            if args.train else (state, None))
+    else:
+        best_state, history = runner.train(
+            builders,
+            init_path=args.model_path if (args.load or not args.train)
+            else "", do_train=bool(args.train))
+    if args.model_path and args.train:
+        runner.save_state(best_state, args.model_path)
+    dev_res = runner.evaluate(builders["dev"], best_state)
+    test_res = runner.evaluate(builders["test"], best_state)
+    logger.info("Dev  After Training: %s", dev_res)
+    logger.info("Test After Training: %s", test_res)
+    return {"dev": dev_res, "test": test_res}
+
+
+def _impression_train_from(runner, builders, state):
+    """runner.train() but starting from a pre-initialized state (the
+    ranker-absorbed one) instead of a fresh init."""
+    import jax
+    import numpy as _np
+    main_results, dev_results = [], []
+    best_state = jax.tree.map(_np.asarray, state)
+    for epoch in range(runner.cfg.epoch):
+        state, loss = runner.fit(builders["train"], state, epoch + 1)
+        dev_result = runner.evaluate(builders["dev"], state)
+        dev_results.append(dev_result)
+        main_results.append(dev_result[runner.main_metric])
+        star = ""
+        if max(main_results) == main_results[-1]:
+            best_state = jax.tree.map(_np.asarray, state)
+            star = " *"
+        logger.info("Epoch %-4d loss=%.4f dev=%s%s", epoch + 1, loss,
+                    dev_result, star)
+        if runner.eval_termination(main_results, runner.cfg.early_stop):
+            logger.info("Early stop at %d based on dev result.", epoch + 1)
+            break
+    return best_state, {"main_results": main_results,
+                        "dev_results": dev_results}
+
+
 def main(argv=None):
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(message)s")
     args = build_parser().parse_args(argv)
+    if args.model_mode == "Impression":
+        return run_impression(args)
     task = "ctr" if args.model_mode == "CTR" else "ranking"
 
     corpus = Corpus(args.path, args.dataset, sep=args.sep)
