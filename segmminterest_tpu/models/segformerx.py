@@ -81,7 +81,7 @@ class MLPBlock(nn.Module):
             x = nn.Dense(h, kernel_init=DENSE_INIT, dtype=self.dtype,
                          name=f"dense_{i}")(x)
             if self.layer_norm:
-                x = nn.LayerNorm(epsilon=1e-5, name=f"ln_{i}")(x)
+                x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"ln_{i}")(x)
             x = nn.relu(x)
             if self.dropout > 0:
                 x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
@@ -225,10 +225,10 @@ class FourStreamAttention(nn.Module):
                                 name="ff_vid")(vid_out),
                        deterministic=deterministic)
 
-        vid_feat = nn.LayerNorm(epsilon=LN_EPS, name="ln_vid")(vid_feat + vid_out)
+        vid_feat = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln_vid")(vid_feat + vid_out)
         if "SelfAtt" in self.ablation:
             return vid_feat, None
-        usr_feat = nn.LayerNorm(epsilon=LN_EPS, name="ln_usr")(usr_feat + usr_out)
+        usr_feat = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln_usr")(usr_feat + usr_out)
         return vid_feat, usr_feat
 
     def _fused_qkv_forward(self, vid_feat, vid_mask, usr_feat, usr_mask,
@@ -285,8 +285,8 @@ class FourStreamAttention(nn.Module):
         vid_out = drop(nn.Dense(d, kernel_init=DENSE_INIT, dtype=self.dtype,
                                 name="ff_vid")(vid_out),
                        deterministic=deterministic)
-        vid_feat = nn.LayerNorm(epsilon=LN_EPS, name="ln_vid")(vid_feat + vid_out)
-        usr_feat = nn.LayerNorm(epsilon=LN_EPS, name="ln_usr")(usr_feat + usr_out)
+        vid_feat = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln_vid")(vid_feat + vid_out)
+        usr_feat = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln_usr")(usr_feat + usr_out)
         return vid_feat, usr_feat
 
     def _fused_forward(self, vid_feat, vid_mask, usr_feat, usr_mask,
@@ -367,10 +367,10 @@ class FourStreamAttention(nn.Module):
         vid_out = drop(nn.Dense(d, kernel_init=DENSE_INIT, dtype=self.dtype,
                                 name="ff_vid")(vid_out),
                        deterministic=deterministic)
-        vid_feat = nn.LayerNorm(epsilon=LN_EPS, name="ln_vid")(vid_feat + vid_out)
+        vid_feat = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln_vid")(vid_feat + vid_out)
         if "SelfAtt" in self.ablation:
             return vid_feat, None
-        usr_feat = nn.LayerNorm(epsilon=LN_EPS, name="ln_usr")(usr_feat + usr_out)
+        usr_feat = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln_usr")(usr_feat + usr_out)
         return vid_feat, usr_feat
 
 
@@ -417,14 +417,14 @@ class SegFormerXLayer(nn.Module):
                        dtype=self.dtype, name="ff_vid")
         vid_new = drop(ff_vid(vid_feat, deterministic=deterministic),
                        deterministic=deterministic)
-        vid_feat = nn.LayerNorm(epsilon=LN_EPS, name="ln_vid")(vid_feat + vid_new)
+        vid_feat = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln_vid")(vid_feat + vid_new)
         if usr_feat is not None:
             ff_usr = KnMLP([self.d_model, self.ff_dim, self.d_model],
                            activation="gelu", dropout=self.dropout,
                            dtype=self.dtype, name="ff_usr")
             usr_new = drop(ff_usr(usr_feat, deterministic=deterministic),
                            deterministic=deterministic)
-            usr_feat = nn.LayerNorm(epsilon=LN_EPS, name="ln_usr")(usr_feat + usr_new)
+            usr_feat = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln_usr")(usr_feat + usr_new)
         return vid_feat, usr_feat
 
 
@@ -539,9 +539,9 @@ class SegFormerX(nn.Module):
         if self.use_pe:
             vid_x = vid_x + vid_pe_table[None, :vid_x.shape[1]]
             usr_x = usr_x + usr_pe_table[None, :usr_x.shape[1]]
-        vid_x = drop(nn.LayerNorm(epsilon=LN_EPS, name="vid_ln")(vid_x),
+        vid_x = drop(nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="vid_ln")(vid_x),
                      deterministic=deterministic)
-        usr_x = drop(nn.LayerNorm(epsilon=LN_EPS, name="usr_ln")(usr_x),
+        usr_x = drop(nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="usr_ln")(usr_x),
                      deterministic=deterministic)
 
         # ---- ablation MLP paths (encoder.py:503-511) ----

@@ -1,17 +1,24 @@
-"""Summarize a jax.profiler TPU trace: top self-time ops + category split.
+"""Summarize a jax.profiler TPU trace: top self-time ops from the xplane.
 
-  python tools/perf_ab.py --name prof --remat_scope attention \
+  python tools/perf_ab.py --name prof --remat 0 --fuse_qkv 1 \
       --profile_dir /tmp/tpu_profile --steps 6
-  python tools/profile_analyze.py /tmp/tpu_profile
+  PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python \
+      python tools/profile_analyze.py /tmp/tpu_profile
 
-Uses tensorboard_plugin_profile's converters on the captured xplane.pb.
-"""
+Parses the raw xplane.pb with tensorflow's xplane_pb2 (the
+tensorboard_plugin_profile converters are version-skewed against the baked
+tensorflow in this image — AttributeError on xspace_to_tools_data — and the
+C++ protobufs mismatch, hence the pure-python env var; see CLAUDE.md trace
+workflow)."""
 
 from __future__ import annotations
 
+import collections
 import glob
-import json
+import os
 import sys
+
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 
 
 def find_xplane(root: str) -> str:
@@ -24,43 +31,40 @@ def find_xplane(root: str) -> str:
 def main():
     root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tpu_profile"
     xplane = find_xplane(root)
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
-    data, _ = rtd.xspace_to_tool_data([xplane], "op_profile", {})
-    prof = json.loads(data)
+    space = xplane_pb2.XSpace()
+    with open(xplane, "rb") as f:
+        space.ParseFromString(f.read())
 
-    def walk(node, depth=0, out=None):
-        out = out if out is not None else []
-        m = node.get("metrics", {})
-        out.append((node.get("name", "?"), m.get("time", 0.0),
-                    m.get("flops", 0.0), depth))
-        for c in node.get("children", []):
-            walk(c, depth + 1, out)
-        return out
-
-    by_cat = prof.get("byCategory", {})
-    total_time = by_cat.get("metrics", {}).get("time", 0.0)
-    print(f"total profiled time fraction basis: {total_time:.4f}")
-    cats = by_cat.get("children", [])
-    rows = []
-    for cat in cats:
-        m = cat.get("metrics", {})
-        rows.append((cat.get("name", "?"), m.get("time", 0.0),
-                     m.get("flops", 0.0)))
-    rows.sort(key=lambda r: -r[1])
-    print("\n== categories (time fraction, flop utilization) ==")
-    for name, t, f in rows[:15]:
-        print(f"  {t:7.4f}  flops_util={f:6.4f}  {name}")
-    print("\n== deepest hot ops ==")
-    leaves = []
-    for cat in cats:
-        for prog in cat.get("children", []):
-            m = prog.get("metrics", {})
-            leaves.append((prog.get("name", "?"), m.get("time", 0.0),
-                           m.get("flops", 0.0)))
-    leaves.sort(key=lambda r: -r[1])
-    for name, t, f in leaves[:25]:
-        print(f"  {t:7.4f}  flops_util={f:6.4f}  {name[:100]}")
+    # TPU op events live on the device plane's XLA-op lines; aggregate
+    # self-duration by event name.
+    for plane in space.planes:
+        if "TPU" not in plane.name and "/device:" not in plane.name:
+            continue
+        metadata = {m.id: m.name for m in plane.event_metadata.values()} \
+            if hasattr(plane.event_metadata, "values") else {}
+        if not metadata:
+            metadata = {k: v.name for k, v in plane.event_metadata.items()}
+        per_op = collections.Counter()
+        per_line = collections.Counter()
+        for line in plane.lines:
+            for ev in line.events:
+                name = metadata.get(ev.metadata_id, "?")
+                dur = ev.duration_ps / 1e9  # ms
+                per_op[name] += dur
+                per_line[line.name] += dur
+        if not per_op:
+            continue
+        total = sum(per_line.values())
+        print(f"\n=== plane: {plane.name} ===")
+        print("-- lines (ms summed over capture) --")
+        for name, t in per_line.most_common(8):
+            print(f"  {t:10.2f}  {name}")
+        print("-- top ops by summed duration (ms) --")
+        for name, t in per_op.most_common(35):
+            print(f"  {t:10.2f}  {100 * t / max(total, 1e-9):5.1f}%  "
+                  f"{name[:110]}")
 
 
 if __name__ == "__main__":
