@@ -29,7 +29,9 @@ logger = logging.getLogger(__name__)
 SEQ_MODELS = {"DIN", "DIEN", "CAN", "SDIM", "ETA", "ClipDINRec", "ClipDIENRec",
               "ClipCANRec", "SASRec", "GRU4Rec", "Caser", "NARM", "FPMC",
               "TiSASRec", "ComiRec", "ETA", "ContraRec", "TiMiRec",
-              "SRGNN", "CLRec", "FourierTA", "S3Rec"}
+              "SRGNN", "CLRec", "FourierTA", "S3Rec",
+              "SLRCPlus", "Chorus", "KDA"}
+KG_MODELS = {"CFKG", "SLRCPlus", "Chorus", "KDA"}
 
 
 def build_parser():
@@ -84,6 +86,20 @@ def build_parser():
     p.add_argument("--ranker_model_path", type=str, default="",
                    help="pretrained base-ranker msgpack (rerankers)")
     p.add_argument("--tuneranker", type=int, default=0)
+    p.add_argument("--include_attr", type=int, default=0)
+    p.add_argument("--margin", type=float, default=0.0)
+    p.add_argument("--time_scalar", type=int, default=60 * 60 * 24 * 100)
+    p.add_argument("--stage", type=int, default=2,
+                   help="Chorus: 1 KG pretrain, 2 recommendation")
+    p.add_argument("--base_method", type=str, default="BPR")
+    p.add_argument("--lr_scale", type=float, default=0.1)
+    p.add_argument("--category_col", type=str, default="i_category")
+    p.add_argument("--n_dft", type=int, default=64)
+    p.add_argument("--freq_rand", type=int, default=0)
+    p.add_argument("--neg_head_p", type=float, default=0.5)
+    p.add_argument("--gamma", type=float, default=-1)
+    p.add_argument("--pooling", type=str, default="average")
+    p.add_argument("--include_val", type=int, default=1)
     p.add_argument("--s3rec_stage", type=int, default=2,
                    help="1: self-supervised pretrain (save via --model_path);"
                         " 2: finetune (load pretrain via --load 1)")
@@ -183,8 +199,53 @@ def build_parser():
     return p
 
 
-def build_model(args, corpus, use_frames):
+def build_model(args, corpus, use_frames, kg_meta=None):
     name = args.model_name
+    if kg_meta is not None:
+        from .kg import (CFKGModel, ChorusModel, KDAModel, SLRCPlusModel,
+                         kda_freq_init)
+        if name == "CFKG":
+            return CFKGModel(user_num=corpus.n_users,
+                             entity_num=kg_meta.n_entities,
+                             relation_num=kg_meta.n_relations,
+                             emb_size=args.emb_size, margin=args.margin)
+        if name == "SLRCPlus":
+            return SLRCPlusModel(
+                user_num=corpus.n_users, item_num=corpus.n_items,
+                relation_num=len(kg_meta.item_relations) + 1,
+                emb_size=args.emb_size)
+        if name == "Chorus":
+            cate_col = args.category_col
+            meta = kg_meta.item_meta_df
+            category_num = (int(meta[cate_col].max()) + 1
+                            if cate_col in meta.columns else 1)
+            return ChorusModel(
+                user_num=corpus.n_users, item_num=corpus.n_items,
+                relation_names=tuple(kg_meta.item_relations),
+                category_num=category_num, emb_size=args.emb_size,
+                margin=args.margin, stage=args.stage,
+                base_method=args.base_method)
+        if name == "KDA":
+            freq_real = freq_imag = None
+            n_dft = args.n_dft
+            if not args.freq_rand:
+                freq_x, n_dft = kda_freq_init(corpus, kg_meta,
+                                              n_dft=args.n_dft,
+                                              t_scalar=args.t_scalar)
+                freq_real, freq_imag = np.real(freq_x), np.imag(freq_x)
+            gamma = args.gamma
+            if gamma < 0:
+                gamma = len(kg_meta.relation_df) / len(corpus.all_df)
+            return KDAModel(
+                user_num=corpus.n_users, item_num=corpus.n_items,
+                entity_num=max(kg_meta.n_entities, corpus.n_items),
+                relation_num=kg_meta.n_relations,
+                freq_dim=n_dft // 2 + 1, freq_real_init=freq_real,
+                freq_imag_init=freq_imag, emb_size=args.emb_size,
+                num_layers=args.num_layers, num_heads=args.num_heads,
+                attention_size=args.attention_size, pooling=args.pooling,
+                include_val=bool(args.include_val), gamma=gamma,
+                dropout=args.dropout)
     cls = MODEL_REGISTRY[name]
     feature_names = (corpus.user_feature_names + corpus.item_feature_names
                      + corpus.situation_feature_names
@@ -526,8 +587,37 @@ def main(argv=None):
         feat_table = np.asarray(store.feat)
 
     include_history = args.model_name in SEQ_MODELS
+    kg_meta = None
+    if args.model_name in KG_MODELS:
+        from .kg import KGFeedBuilder, KGMeta
+        kg_meta = KGMeta(args.path, args.dataset, sep=args.sep,
+                         include_attr=bool(args.include_attr),
+                         n_items=corpus.n_items)
+
+        def kg_mode_for(phase):
+            name = args.model_name
+            if name == "CFKG":
+                return "cfkg"
+            if name == "SLRCPlus":
+                return "slrc"
+            if name == "KDA":
+                return "kda"
+            return "chorus_kg" if (args.stage == 1
+                                   and phase == "train") else "chorus"
     builders = {}
     for phase in ("train", "dev", "test"):
+        if kg_meta is not None:
+            builders[phase] = KGFeedBuilder(
+                corpus, phase, kg=kg_meta, kg_mode=kg_mode_for(phase),
+                time_scalar=args.time_scalar,
+                category_col=args.category_col, t_scalar=args.t_scalar,
+                num_neg_kg=args.num_neg, neg_head_p=args.neg_head_p,
+                task=task, num_neg=args.num_neg,
+                history_max=args.history_max,
+                include_history=include_history,
+                test_all=bool(args.test_all) and phase != "train",
+                seed=args.random_seed)
+            continue
         builders[phase] = FeedBuilder(
             corpus, phase, task=task, num_neg=args.num_neg,
             history_max=args.history_max, include_history=include_history,
@@ -545,7 +635,7 @@ def main(argv=None):
             seed=args.random_seed)
 
     use_frames = store is not None
-    model = build_model(args, corpus, use_frames)
+    model = build_model(args, corpus, use_frames, kg_meta=kg_meta)
 
     metrics = args.metric or ("AUC,F1_SCORE,LOG_LOSS,ACC"
                               if task == "ctr" else "NDCG,HR")
@@ -562,8 +652,11 @@ def main(argv=None):
             else "ContraRec" if args.model_name == "ContraRec"
             else "CLRec" if args.model_name == "CLRec"
             else "S3Rec" if (args.model_name == "S3Rec"
-                             and args.s3rec_stage == 1) else "BPR"),
-        ctc_temp=args.ctc_temp,
+                             and args.s3rec_stage == 1)
+            else "CFKG" if args.model_name == "CFKG"
+            else "ChorusKG" if (args.model_name == "Chorus"
+                                and args.stage == 1) else "BPR"),
+        ctc_temp=args.ctc_temp, margin=args.margin,
         auxillary_loss_weight=args.auxillary_loss_weight,
         seed=args.random_seed)
     mesh = None
@@ -578,6 +671,9 @@ def main(argv=None):
 
     if task == "ctr":
         runner = CTRRunner(model, cfg, feat_table=feat_table, mesh=mesh)
+    elif args.model_name == "Chorus" and args.stage == 2:
+        from .kg import make_chorus_runner
+        runner = make_chorus_runner(model, cfg, args.lr_scale, mesh=mesh)
     elif args.leave_rank:
         runner = LeaveRankingRunner(model, cfg, feat_table=feat_table,
                                     data_name=args.dataset, mesh=mesh)

@@ -54,6 +54,7 @@ class RunnerConfig:
     directau_gamma: float = 1.0
     ctc_temp: float = 1.0        # ContraRec context-target temperature
     auxillary_loss_weight: float = 0.0
+    margin: float = 0.0          # CFKG / Chorus-KG hinge margin
     seed: int = 0
     test_epoch: int = -1
 
@@ -265,6 +266,12 @@ class RankingRunner:
             # (BaseRunner.py:199-208)
             predictions = jnp.take_along_axis(predictions,
                                               batch["unshuffle"], axis=1)
+        if self.cfg.loss_n in ("CFKG", "ChorusKG"):
+            # margin ranking over the (pos,pos,neg-tail,neg-head) quadruple
+            # layout (CFKG.py:70-76 / Chorus.py:168-177)
+            from .kg import cfkg_margin_loss
+            return cfkg_margin_loss(predictions,
+                                    batch["row_mask"], self.cfg.margin)
         if self.cfg.loss_n == "S3Rec":
             # pretrain: the sown mip+sp losses ARE the objective
             return jnp.asarray(0.0, jnp.float32)

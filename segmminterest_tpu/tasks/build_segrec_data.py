@@ -47,6 +47,12 @@ def main(argv=None):
     p.add_argument("--num_warmup", type=int, default=80)
     p.add_argument("--n_eval_neg", type=int, default=99)
     p.add_argument("--seed", type=int, default=2024)
+    p.add_argument("--kg_meta", type=int, default=0,
+                   help="derive KG relation columns for the knowledge-aware "
+                        "family (KGReader.py item_meta contract): "
+                        "r_next_watch = train-sequence successor items, "
+                        "i_category = 30s duration buckets")
+    p.add_argument("--kg_max_tails", type=int, default=10)
     args = p.parse_args(argv)
 
     df = normalize_columns(pd.read_csv(args.inter_csv, sep=args.sep))
@@ -71,6 +77,26 @@ def main(argv=None):
     item_meta["item_id"] = item_meta["video_id"].map(iids)
     item_meta = item_meta[["item_id", "duration_ms"]].rename(
         columns={"duration_ms": "i_duration"}).sort_values("item_id")
+    item_meta_kg = item_meta
+    if args.kg_meta:
+        # r_next_watch: items that directly followed this item in some
+        # user's TRAIN sequence (an also-view-style relation the SegMM
+        # exports otherwise lack; KGReader.py:37-46 consumes r_* columns)
+        succ = {}
+        tr = parts["train"].sort_values(["user_id", "time_ms"],
+                                        kind="mergesort")
+        for _, grp in tr.groupby("user_id", sort=False):
+            vids = grp["video_id"].map(iids).to_numpy()
+            for a, b in zip(vids[:-1], vids[1:]):
+                if a != b:
+                    succ.setdefault(int(a), [])
+                    if int(b) not in succ[int(a)]                             and len(succ[int(a)]) < args.kg_max_tails:
+                        succ[int(a)].append(int(b))
+        item_meta_kg = item_meta.copy()
+        item_meta_kg["r_next_watch"] = [
+            str(succ.get(int(i), [])) for i in item_meta_kg["item_id"]]
+        item_meta_kg["i_category"] = (
+            item_meta_kg["i_duration"] // 30000).clip(0, 9).astype(int) + 1
 
     for task in ("CTR", "ranking"):
         name = f"{args.name}_CTR" if task == "CTR" else args.name
@@ -90,8 +116,11 @@ def main(argv=None):
                                     size=(len(out), args.n_eval_neg))
                 out["neg_items"] = [str(list(map(int, row))) for row in negs]
             out.to_csv(osp.join(base, key + ".csv"), sep="\t", index=False)
-        item_meta.to_csv(osp.join(base, "item_meta.csv"), sep="\t",
-                         index=False)
+        # KG relation columns only in the ranking export (the KG family's
+        # home); CTR context models keep the original feature set
+        meta_out = item_meta if task == "CTR" else item_meta_kg
+        meta_out.to_csv(osp.join(base, "item_meta.csv"), sep="\t",
+                        index=False)
         import json
         with open(osp.join(base, "id2user.json"), "w") as f:
             json.dump(id2user, f)

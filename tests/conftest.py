@@ -35,5 +35,5 @@ def segrec_data(tmp_path_factory):
     from segmminterest_tpu.tasks.build_segrec_data import main as build
     build(["--inter_csv", "/root/reference/SegMM_inter_sample.csv",
            "--out", out, "--name", "SegMM", "--min_interactions", "30",
-           "--num_warmup", "10", "--n_eval_neg", "9"])
+           "--num_warmup", "10", "--n_eval_neg", "9", "--kg_meta", "1"])
     return out
