@@ -3,16 +3,21 @@
 Behavioral spec: /root/reference/SkipPredBaseline/MMRec/src/main.py +
 utils/quick_start.py: pick a model, build the frame-as-item dataset, train
 with eval-step early stopping, report best-test-upon-valid; --save_logits
-exports the canonical interest-logit dict for SegRec.
+exports the canonical interest-logit dict for SegRec. --grid sweeps
+hyperparameter combinations like the reference's quick_start() product loop
+(quick_start.py:53-100).
 
   python -m segmminterest_tpu.mmrec.main --model FREEDOM \
       --inter_csv /root/reference/SegMM_inter_sample.csv \
-      --min_interactions 30 --num_warmup 10 --epochs 5
+      --min_interactions 30 --num_warmup 10 --epochs 5 \
+      --grid 'lr=0.001,0.0001;emb_size=64,128'
 """
 
 from __future__ import annotations
 
 import argparse
+import copy
+import itertools
 import json
 import logging
 
@@ -84,40 +89,31 @@ def build_mmrec_data(inter_csv, sep, min_interactions, num_warmup, seed):
     }
 
 
-def main(argv=None):
-    logging.basicConfig(level=logging.INFO,
-                        format="%(asctime)s %(levelname)s %(message)s")
-    p = argparse.ArgumentParser()
-    p.add_argument("--model", type=str, default="FREEDOM",
-                   choices=sorted(MMREC_REGISTRY))
-    p.add_argument("--inter_csv", type=str, required=True)
-    p.add_argument("--sep", type=str, default=",")
-    p.add_argument("--min_interactions", type=int, default=100)
-    p.add_argument("--num_warmup", type=int, default=80)
-    p.add_argument("--feat_npy", type=str, default="",
-                   help="(n_frames, D[+1 pos]) frame feature matrix; "
-                        "random features are synthesized when omitted")
-    p.add_argument("--feat_dim", type=int, default=64)
-    p.add_argument("--emb_size", type=int, default=64)
-    p.add_argument("--knn_k", type=int, default=10)
-    p.add_argument("--epochs", type=int, default=1000)
-    p.add_argument("--stopping_step", type=int, default=20)
-    p.add_argument("--lr", type=float, default=1e-3)
-    p.add_argument("--batch_size", type=int, default=2048)
-    p.add_argument("--edge_dropout", type=float, default=0.0)
-    p.add_argument("--use_mask_eval", type=int, default=1)
-    p.add_argument("--seed", type=int, default=2020)
-    p.add_argument("--save_logits", type=str, default="")
-    p.add_argument("--test_cold", type=int, default=0,
-                   help="also report cold/hot test splits (videos unseen/"
-                        "seen in training) — MMRec fork main.py:21-23, "
-                        "topk_evaluator.py:235-260")
-    args = p.parse_args(argv)
+def parse_grid(spec: str):
+    """'lr=0.001,0.0001;emb_size=64,128' -> (keys, combination tuples) — the
+    reference's config['hyper_parameters'] x product(*hyper_ls)
+    (quick_start.py:53-60)."""
+    keys, value_lists = [], []
+    for part in filter(None, (s.strip() for s in spec.split(";"))):
+        key, _, vals = part.partition("=")
+        parsed = []
+        for v in vals.split(","):
+            v = v.strip()
+            try:
+                parsed.append(int(v))
+            except ValueError:
+                try:
+                    parsed.append(float(v))
+                except ValueError:
+                    parsed.append(v)
+        keys.append(key.strip())
+        value_lists.append(parsed)
+    return keys, list(itertools.product(*value_lists))
 
-    data = build_mmrec_data(args.inter_csv, args.sep, args.min_interactions,
-                            args.num_warmup, 2024)
-    logger.info("frames=%d users=%d train pairs=%d", data["n_items"],
-                data["n_users"], len(data["train_u"]))
+
+def run_one(args, data, mesh=None):
+    """Build model + runner for one hyperparameter configuration and train.
+    Returns (runner, best_state, result)."""
     eu, ei, ev = bipartite_norm_edges(data["train_u"], data["train_i"],
                                       data["n_users"], data["n_items"])
     if args.feat_npy:
@@ -148,9 +144,94 @@ def main(argv=None):
                       edge_dropout=args.edge_dropout, seed=args.seed,
                       use_mask_eval=bool(args.use_mask_eval))
     runner = MMRecRunner(model, cfg, data["train_u"], data["train_i"],
-                         data["n_items"])
+                         data["n_items"], mesh=mesh)
     best_state, result = runner.train(data["dev"], data["test"],
                                       data["frame_map"])
+    return runner, best_state, result
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)s %(message)s")
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", type=str, default="FREEDOM",
+                   choices=sorted(MMREC_REGISTRY))
+    p.add_argument("--inter_csv", type=str, required=True)
+    p.add_argument("--sep", type=str, default=",")
+    p.add_argument("--min_interactions", type=int, default=100)
+    p.add_argument("--num_warmup", type=int, default=80)
+    p.add_argument("--feat_npy", type=str, default="",
+                   help="(n_frames, D[+1 pos]) frame feature matrix; "
+                        "random features are synthesized when omitted")
+    p.add_argument("--feat_dim", type=int, default=64)
+    p.add_argument("--emb_size", type=int, default=64)
+    p.add_argument("--knn_k", type=int, default=10)
+    p.add_argument("--epochs", type=int, default=1000)
+    p.add_argument("--stopping_step", type=int, default=20)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--batch_size", type=int, default=2048)
+    p.add_argument("--edge_dropout", type=float, default=0.0)
+    p.add_argument("--use_mask_eval", type=int, default=1)
+    p.add_argument("--seed", type=int, default=2020)
+    p.add_argument("--save_logits", type=str, default="")
+    p.add_argument("--test_cold", type=int, default=0,
+                   help="also report cold/hot test splits (videos unseen/"
+                        "seen in training) — MMRec fork main.py:21-23, "
+                        "topk_evaluator.py:235-260")
+    p.add_argument("--grid", type=str, default="",
+                   help="hyperparameter grid 'key=v1,v2;key2=v3,v4' over "
+                        "any CLI flag (e.g. lr, emb_size, knn_k, seed); "
+                        "reproduces quick_start()'s product loop with "
+                        "per-combination best-valid/best-test reporting "
+                        "(quick_start.py:53-100)")
+    p.add_argument("--use_mesh", type=int, default=1,
+                   help="shard the triplet batch over a ('data','model') "
+                        "mesh when >1 device is visible and batch_size "
+                        "divides")
+    args = p.parse_args(argv)
+
+    data = build_mmrec_data(args.inter_csv, args.sep, args.min_interactions,
+                            args.num_warmup, 2024)
+    logger.info("frames=%d users=%d train pairs=%d", data["n_items"],
+                data["n_users"], len(data["train_u"]))
+
+    mesh = None
+    if args.use_mesh:
+        import jax
+        from ..core.mesh import make_mesh
+        if (len(jax.devices()) > 1
+                and args.batch_size % len(jax.devices()) == 0):
+            mesh = make_mesh(jax.devices())
+
+    if args.grid:
+        # the reference grid loop: run every combination, report each
+        # (valid, test) pair, and surface the combination whose
+        # best_test_upon_valid wins on the valid metric — quick_start.py's
+        # (quirky, replicated) best-by-TEST selection :85-89
+        keys, combos = parse_grid(args.grid)
+        hyper_ret = []
+        best_test_value, best_idx = 0.0, 0
+        for idx, combo in enumerate(combos):
+            trial = copy.copy(args)
+            for k, v in zip(keys, combo):
+                setattr(trial, k, v)
+            logger.info("=== %d/%d: %s=%s ===", idx + 1, len(combos),
+                        keys, list(combo))
+            _, _, res = run_one(trial, data, mesh=mesh)
+            hyper_ret.append({"params": dict(zip(keys, combo)),
+                              "best_valid_result": res["best_valid_result"],
+                              "best_test_upon_valid":
+                                  res["best_test_upon_valid"]})
+            metric = res["best_test_upon_valid"].get("hr@5", 0.0)
+            if metric > best_test_value:
+                best_test_value, best_idx = metric, idx
+            logger.info("best valid: %s", res["best_valid_result"])
+            logger.info("test: %s", res["best_test_upon_valid"])
+        out = {"grid": hyper_ret, "best": hyper_ret[best_idx]}
+        print(json.dumps(out, indent=2))
+        return out
+
+    runner, best_state, result = run_one(args, data, mesh=mesh)
     if args.test_cold:
         cold = [r for r in data["test"]
                 if r["photo_id"] not in data["train_photos"]]

@@ -79,7 +79,7 @@ def interest_topk(interests, view_lengths, durations, mask: bool,
 
 class MMRecRunner:
     def __init__(self, model, cfg: MMRecConfig, train_users: np.ndarray,
-                 train_items: np.ndarray, n_items: int):
+                 train_items: np.ndarray, n_items: int, mesh=None):
         self.model = model
         self.cfg = cfg
         self.train_users = train_users.astype(np.int64)
@@ -94,7 +94,24 @@ class MMRecRunner:
         self.dynamic_graph = self.model_name == "LATTICE"
         self._knn_k = (len(model.mm_edges) // model.n_items
                        if self.dynamic_graph else 0)
-        self._jit_train = jax.jit(self._train_step, donate_argnums=(0,))
+        self.mesh = mesh
+        if mesh is not None:
+            # batch-parallel SPMD over the ('data','model') mesh, matching
+            # segrec/runner.py: params/opt replicated, the triplet batch
+            # (u/pos/neg/row_mask) split on the data axis, grad psum emitted
+            # by XLA. The full-graph propagation (embeddings over the whole
+            # edge set) is replicated compute by construction — the
+            # reference trainer is single-GPU (trainer.py:48-302), so only
+            # the per-batch loss term has a batch dimension to shard.
+            from ..core.mesh import batch_sharding, replicated_sharding
+            bs = batch_sharding(mesh)
+            repl = replicated_sharding(mesh)
+            self._jit_train = jax.jit(
+                self._train_step, donate_argnums=(0,),
+                in_shardings=(repl, bs, bs, bs, bs, repl, repl, repl),
+                out_shardings=(repl, repl))
+        else:
+            self._jit_train = jax.jit(self._train_step, donate_argnums=(0,))
         self._jit_embed = jax.jit(
             lambda p, learned_edges=None: self.model.apply(
                 {"params": p}, learned_edges=learned_edges,

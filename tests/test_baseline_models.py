@@ -212,6 +212,26 @@ def test_mmrec_end_to_end(rng):
     assert 0 <= result["hot_test"]["hr@5"] <= 1
 
 
+def test_mmrec_grid_driver(rng):
+    """--grid sweeps the product of hyperparameter values and reports every
+    (valid, test) pair plus the best-by-test combination — the reference's
+    quick_start() loop (quick_start.py:53-100)."""
+    from segmminterest_tpu.mmrec.main import main as mm_main
+    result = mm_main(["--model", "BPR",
+                      "--inter_csv", "/root/reference/SegMM_inter_sample.csv",
+                      "--min_interactions", "30", "--num_warmup", "10",
+                      "--epochs", "1", "--stopping_step", "1",
+                      "--feat_dim", "16",
+                      "--grid", "lr=0.01,0.001;emb_size=8"])
+    assert len(result["grid"]) == 2
+    lrs = [g["params"]["lr"] for g in result["grid"]]
+    assert lrs == [0.01, 0.001]
+    assert all(g["params"]["emb_size"] == 8 for g in result["grid"])
+    assert result["best"] in result["grid"]
+    for g in result["grid"]:
+        assert "hr@5" in g["best_test_upon_valid"]
+
+
 @pytest.mark.parametrize("mask", [True, False])
 def test_interest_topk_matches_fork(rng, mask):
     """interest_topk vs a transliteration of the MMRec fork's

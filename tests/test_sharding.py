@@ -54,6 +54,38 @@ def test_sharded_matches_single_device_training():
 
 
 @pytest.mark.slow
+def test_mmrec_runner_sharded_matches_single_device():
+    """MMRec triplet training: one fit epoch + eval on an 8-way mesh must
+    match the single-device path (the triplet batch is the only sharded
+    input; full-graph propagation is replicated)."""
+    from segmminterest_tpu.mmrec.graph import bipartite_norm_edges
+    from segmminterest_tpu.mmrec.models import MMREC_REGISTRY
+    from segmminterest_tpu.mmrec.runner import MMRecConfig, MMRecRunner
+
+    rng = np.random.default_rng(3)
+    n_users, n_items = 9, 17
+    tu = rng.integers(1, n_users, size=64).astype(np.int64)
+    ti = rng.integers(1, n_items, size=64).astype(np.int64)
+    eu, ei, ev = bipartite_norm_edges(tu, ti, n_users, n_items)
+    v_feat = rng.normal(size=(n_items, 16)).astype(np.float32)
+
+    outs = []
+    for mesh in (None, make_mesh(jax.devices()[:8])):
+        model = MMREC_REGISTRY["LightGCN"](
+            n_users=n_users, n_items=n_items, edge_u=eu, edge_i=ei,
+            edge_values=ev, emb_size=8, v_feat=v_feat)
+        runner = MMRecRunner(model, MMRecConfig(batch_size=16, seed=5),
+                             tu, ti, n_items, mesh=mesh)
+        state = runner.init_state()
+        state, loss, _ = runner.fit_epoch(state, jax.random.PRNGKey(7))
+        outs.append((jax.tree.map(np.asarray, state["params"]), loss))
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(outs[0][0]),
+                    jax.tree_util.tree_leaves(outs[1][0])):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
 def test_segrec_runner_sharded_matches_single_device(segrec_data):
     """SegRec CTR training end-to-end: the 8-device batch-sharded runner
     must produce the same metrics as the single-device path (GSPMD psum
