@@ -82,7 +82,7 @@ def probe_tpu() -> bool:
     return False
 
 
-def make_batch(rng, B):
+def make_batch(rng, B, n_lines: int = N_LINES):
     labels = np.full((B, 40), -2, np.int32)
     durs = rng.integers(4, 41, size=B)
     for i in range(B):
@@ -98,8 +98,8 @@ def make_batch(rng, B):
         "vid_mask": labels != -2,
         "user_mask": np.ones((B, USER_MAX), bool),
         "row_mask": np.ones(B, bool),
-        "photo_lines": rng.integers(0, N_LINES, size=(B, 40)).astype(np.int32),
-        "user_lines": rng.integers(0, N_LINES,
+        "photo_lines": rng.integers(0, n_lines, size=(B, 40)).astype(np.int32),
+        "user_lines": rng.integers(0, n_lines,
                                    size=(B, USER_MAX)).astype(np.int32),
     }
 
@@ -189,31 +189,81 @@ def measure(result: dict, safe: bool = False) -> None:
                                        num_warmup=10)
     store = synthetic_store(reader, rng)
 
-    # one iterator for all epochs: the precomputed row tables persist and
-    # __iter__ reshuffles per epoch
+    # one iterator for all epochs: precomputed row tables persist, the
+    # producer thread reshuffles AND device_puts each batch
+    # (engine.batch_transform), and epochs() streams across epoch
+    # boundaries through one prefetch pipeline — h2d transfer and the
+    # per-epoch tail both overlap device compute
     it = BatchIterator(reader, reader.tables["train"], BATCH,
                        shuffle=True, feature_store=store, seed=7,
-                       prefetch_size=2)
+                       prefetch_size=2, transform=engine.batch_transform)
 
-    def run_epoch(state, key):
+    def run_epochs(state, key, n_epochs):
         n = 0
-        for batch in it:
+        for batch in it.epochs(n_epochs):
             key, k = jax.random.split(key)
             state, loss_dict = engine.train_step(state, k, batch)
             n += int(batch["row_mask"].sum())
         jax.block_until_ready(loss_dict["loss"])
         return state, key, n
 
-    state, key, _ = run_epoch(state, key)  # warm the caches + compile
+    state, key, _ = run_epochs(state, key, 1)  # warm the caches + compile
     st = time.perf_counter()
-    n_total = 0
-    for _ in range(2):
-        state, key, n = run_epoch(state, key)
-        n_total += n
+    n_epochs = 3
+    state, key, n_total = run_epochs(state, key, n_epochs)
     e2e_elapsed = time.perf_counter() - st
     e2e_ips = n_total / e2e_elapsed
+    n_rows = len(reader.tables["train"])
+    n_slots = -(-n_rows // BATCH) * BATCH
+    fill = n_rows / n_slots
     result["e2e_interactions_per_sec"] = round(e2e_ips, 1)
     result["e2e_vs_device_path"] = round(e2e_ips / ips, 3)
+    # the sample dataset fills only `fill` of the final-epoch batch slots
+    # (7,759 rows -> 8 padded 1024-batches); padded slots do device work the
+    # row-counting ips cannot credit, capping e2e_vs_device_path at `fill`
+    # on this dataset (production: 902k rows/epoch, fill 0.999). The
+    # slotwise ratio prices the pipeline itself.
+    result["e2e_fill_fraction"] = round(fill, 4)
+    result["e2e_vs_device_path_slotwise"] = round(e2e_ips / fill / ips, 3)
+
+
+PRODUCTION_ROWS = 3_920_483   # SegMM segment count (BASELINE.md Table 1)
+
+
+def measure_production(result: dict) -> None:
+    """Second measured number: the SAME flagship model over a
+    production-sized bf16 feature table (3.9M rows ≈ 8 GB HBM-resident),
+    which forces layer-scope remat at B=1024 (VERDICT r2 #2 — the no-remat
+    config benchmarked as ``value`` does not fit with the real table).
+    Runs in a fresh subprocess (one big engine per process, CLAUDE.md);
+    the child exits before the parent touches the backend."""
+    out = "/tmp/bench_production.jsonl"
+    try:
+        os.remove(out)
+    except FileNotFoundError:
+        pass
+    cmd = [sys.executable,
+           os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "perf_ab.py"),
+           "--name", "bench_production", "--remat", "1",
+           "--remat_scope", "layer", "--fuse_qkv", "1",
+           "--table_rows", str(PRODUCTION_ROWS),
+           "--table_dtype", "bfloat16", "--out", out]
+    try:
+        r = subprocess.run(cmd, timeout=2400, capture_output=True, text=True)
+        if r.returncode != 0:
+            tail = (r.stderr or "")[-300:]
+            result["production_error"] = f"rc={r.returncode}: {tail}"
+            return
+        with open(out) as f:
+            rec = json.loads(f.readlines()[-1])
+        result["production_ips"] = rec["ips"]
+        result["production_step_ms"] = rec["step_ms"]
+        result["production_table_rows"] = PRODUCTION_ROWS
+    except subprocess.TimeoutExpired:
+        result["production_error"] = "timeout after 2400s"
+    except Exception as e:  # noqa: BLE001 — diagnostic only
+        result["production_error"] = f"{type(e).__name__}: {e}"
 
 
 def main():
@@ -231,6 +281,8 @@ def main():
             f"{sum(PROBE_SLEEPS_S) + len(PROBE_SLEEPS_S) * PROBE_TIMEOUT_S}s")
         print(json.dumps(result))
         return
+    if not os.environ.get("SEGMM_BENCH_SKIP_PRODUCTION"):
+        measure_production(result)
     try:
         measure(result)
     except Exception as e:  # noqa: BLE001 — fall back, never crash the record

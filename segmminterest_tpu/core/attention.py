@@ -43,6 +43,12 @@ import os
 # tiles amortize per-block overhead at higher VMEM use (A/B via env)
 DEFAULT_BLOCK_B = int(os.environ.get("SEGMM_ATTN_BLOCK_B", "8"))
 
+# default projection-fused kernel version: 2 = weight-interleaved concat-KV
+# (one QK + one AV dot per head — half the MXU issue count of v1's
+# per-block dots, which microbenchmarked as the kernel bottleneck);
+# 1 = the round-2 per-block kernel
+ATTN_V2 = os.environ.get("SEGMM_ATTN_V2", "1") == "1"
+
 
 def _attention_reference(q, k, v, mask_q, mask_k, dropout_rate, seed,
                          deterministic, scale):
@@ -77,8 +83,9 @@ def _dropout_keep(shape, rate, *, interpret, seed_val, salt):
     r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * np.uint32(2654435761)
     c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1) * np.uint32(40503)
     k = jax.lax.broadcasted_iota(jnp.uint32, shape, 2) * np.uint32(69069)
+    # salt may be a fori_loop tracer (head-group loops) — keep it traced
     h = (r ^ c ^ k) + seed_val.astype(jnp.uint32) * np.uint32(2246822519) \
-        + np.uint32(salt) * np.uint32(3266489917)
+        + jnp.asarray(salt).astype(jnp.uint32) * np.uint32(3266489917)
     h = (h ^ (h >> 15)) * np.uint32(2246822519)
     h = h ^ (h >> 13)
     u = (h >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
@@ -984,7 +991,8 @@ def fused_proj_two_block_attention(xq, x1, x2, wq1, bq1, wq2, bq2,
                                    seed: Optional[jax.Array] = None,
                                    deterministic: bool = True,
                                    interpret: bool = False,
-                                   scale: Optional[float] = None):
+                                   scale: Optional[float] = None,
+                                   version: Optional[int] = None):
     """Two-block jointly-normalized attention with the SIX QKV projections
     computed in-kernel: q1 = xq@wq1+bq1 attends k1 = x1@wk1+bk1 (block 1)
     and q2 = xq@wq2+bq2 attends k2 = x2@wk2+bk2 (block 2), one softmax over
@@ -1009,8 +1017,443 @@ def fused_proj_two_block_attention(xq, x1, x2, wq1, bq1, wq2, bq2,
         out = _attention_reference(q, k, v, mask_q, mask_k, dropout_rate,
                                    seed, deterministic, scale)
         return out.reshape(xq.shape[0], xq.shape[1], d)
+    L1, L2 = x1.shape[1], x2.shape[1]
+    if version is None:
+        version = 2 if ATTN_V2 else 1
+    if version == 2 and (L1 % 8 == 0 or L2 % 8 == 0):
+        args_common = (float(dropout_rate), bool(deterministic),
+                       bool(interpret), float(scale), int(num_heads), seed)
+        if L1 % 8 == 0:
+            return _fused_proj_attention_v2(
+                xq, x1, x2, wq1, bq1, wq2, bq2, wk1, bk1, wk2, bk2,
+                wv1, bv1, wv2, bv2, mask_q.astype(jnp.int32),
+                mask_1.astype(jnp.int32), mask_2.astype(jnp.int32),
+                *args_common)
+        # swap blocks so the in-kernel sublane split (rows [0:L1] then
+        # [L1:]) starts 8-aligned; the joint softmax is order-invariant
+        return _fused_proj_attention_v2(
+            xq, x2, x1, wq2, bq2, wq1, bq1, wk2, bk2, wk1, bk1,
+            wv2, bv2, wv1, bv1, mask_q.astype(jnp.int32),
+            mask_2.astype(jnp.int32), mask_1.astype(jnp.int32),
+            *args_common)
     return _fused_proj_attention(
         xq, x1, x2, wq1, bq1, wq2, bq2, wk1, bk1, wk2, bk2, wv1, bv1,
         wv2, bv2, mask_q.astype(jnp.int32), mask_1.astype(jnp.int32),
         mask_2.astype(jnp.int32), float(dropout_rate), bool(deterministic),
         bool(interpret), float(scale), int(num_heads), seed)
+
+
+# ---------------------------------------------------------------------------
+# v2 projection-fused kernel: ONE contraction per head over BOTH blocks.
+#
+# Microbenchmarks (tools/kernel_bench.py, round 3) showed the v1 kernels are
+# bound by MXU issue count, not FLOPs or HBM: the attention-only two-block
+# kernel costs the same as the projection-fused one (projections are ~free),
+# and each head issues 4 batched tiny dots (2 QK + 2 AV, each 8 sequential
+# 40x32-ish matmuls). v2 halves the issue count by restoring the original
+# concat-KV formulation (encoder.py:64-75: q = [q1|q2], K = [[k1|0],[0|k2]],
+# one softmax over both blocks) — but the concatenation is done by
+# INTERLEAVING THE PROJECTION WEIGHTS outside the kernel instead of
+# materializing doubled-width tensors in HBM (round 1's mistake, ~25% of
+# step time in pad/concat fusions): head h of W_q^cat carries [wq1_h|wq2_h]
+# in one 2*Dh-wide lane slab, W_k1^cat carries [wk1_h|0], W_k2^cat [0|wk2_h],
+# so the in-kernel projections produce the interleaved layout directly and
+# per head the whole two-block attention is ONE (Lq,2Dh)x(2Dh,L1+L2) QK dot
+# and ONE (Lq,L1+L2)x(L1+L2,Dv) AV dot. The structural-zero weight slots
+# cost only free MXU FLOPs.
+# ---------------------------------------------------------------------------
+
+def _interleave_ws(wq1, bq1, wq2, bq2, wk1, bk1, wk2, bk2, num_heads):
+    d = wq1.shape[0]
+    H, Dh = num_heads, wq1.shape[1] // num_heads
+
+    def il(a, b):
+        return jnp.concatenate(
+            [a.reshape(d, H, Dh), b.reshape(d, H, Dh)], axis=2
+        ).reshape(d, 2 * d)
+
+    def il_b(a, b):
+        return jnp.concatenate(
+            [a.reshape(H, Dh), b.reshape(H, Dh)], axis=1).reshape(2 * d)
+
+    zw = jnp.zeros_like(wk1)
+    zb = jnp.zeros_like(bk1)
+    return (il(wq1, wq2), il_b(bq1, bq2),
+            il(wk1, zw), il_b(bk1, zb),
+            il(zw, wk2), il_b(zb, bk2))
+
+
+def _deinterleave_w(dw, num_heads, slot):
+    """(d, 2d) interleaved weight grad -> the (d, d) grad of slot 0 or 1."""
+    d = dw.shape[0]
+    H, Dh2 = num_heads, dw.shape[1] // num_heads
+    return dw.reshape(d, H, 2, Dh2 // 2)[:, :, slot, :].reshape(d, d)
+
+
+def _deinterleave_b(db, num_heads, slot):
+    d2 = db.shape[-1]
+    H, Dh2 = num_heads, d2 // num_heads
+    return db.reshape(H, 2, Dh2 // 2)[:, slot, :].reshape(d2 // 2)
+
+
+def _v2_head_groups(num_heads, qk_dim, v_dim):
+    """Heads per fori-loop group such that the dynamic lane slices stay
+    128-aligned: qk slab = hpg*2*qk_dim, v slab = hpg*v_dim."""
+    hpg = max(1, 128 // qk_dim)
+    if (num_heads % hpg or qk_dim * hpg != 128 or v_dim != qk_dim):
+        hpg = num_heads
+    return hpg
+
+
+def _fp2_fwd_kernel(seed_ref, xq_ref, x1_ref, x2_ref,
+                    wq_ref, bq_ref, wk1_ref, bk1_ref, wk2_ref, bk2_ref,
+                    wv1_ref, bv1_ref, wv2_ref, bv2_ref,
+                    mq_ref, mk1_ref, mk2_ref, o_ref,
+                    sq, sk, sv, *,
+                    num_heads, qk_dim, v_dim, scale, dropout_rate,
+                    deterministic, interpret, l1, l2):
+    b = pl.program_id(0)
+    if not deterministic and dropout_rate > 0 and not interpret:
+        pltpu.prng_seed(seed_ref[0] + b)
+    xq = xq_ref[...]
+    x1 = x1_ref[...]
+    x2 = x2_ref[...]
+    sq[...] = _proj(xq, wq_ref, bq_ref)
+    sk[:, :l1, :] = _proj(x1, wk1_ref, bk1_ref)
+    sk[:, l1:, :] = _proj(x2, wk2_ref, bk2_ref)
+    sv[:, :l1, :] = _proj(x1, wv1_ref, bv1_ref)
+    sv[:, l1:, :] = _proj(x2, wv2_ref, bv2_ref)
+    mk_cat = jnp.concatenate([mk1_ref[...], mk2_ref[...]], axis=1)
+    pair = (mq_ref[...][:, :, None] * mk_cat[:, None, :]) > 0
+
+    hpg = _v2_head_groups(num_heads, qk_dim, v_dim)
+
+    def group_body(g, _):
+        qs = pl.dslice(g * hpg * 2 * qk_dim, hpg * 2 * qk_dim)
+        vs = pl.dslice(g * hpg * v_dim, hpg * v_dim)
+        qg = sq[:, :, qs]
+        kg = sk[:, :, qs]
+        vg = sv[:, :, vs]
+        outs = []
+        for j in range(hpg):
+            sl = slice(j * 2 * qk_dim, (j + 1) * 2 * qk_dim)
+            sl_v = slice(j * v_dim, (j + 1) * v_dim)
+            l = jax.lax.dot_general(
+                qg[:, :, sl], kg[:, :, sl], (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            l = jnp.where(pair, l, MASK_FILL_VALUE)
+            if not deterministic and dropout_rate > 0:
+                keep = _dropout_keep(l.shape, dropout_rate,
+                                     interpret=interpret,
+                                     seed_val=seed_ref[0] + b,
+                                     salt=g * hpg + j)
+                l = jnp.where(keep, l / (1.0 - dropout_rate), 0.0)
+            p = jax.nn.softmax(l * scale, axis=-1)
+            v_h = vg[:, :, sl_v]
+            outs.append(jax.lax.dot_general(
+                p.astype(v_h.dtype), v_h, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32).astype(o_ref.dtype))
+        o_ref[:, :, vs] = jnp.concatenate(outs, axis=-1) if hpg > 1 \
+            else outs[0]
+        return 0
+
+    jax.lax.fori_loop(0, num_heads // hpg, group_body, 0)
+
+
+def _fp2_bwd_kernel(seed_ref, xq_ref, x1_ref, x2_ref,
+                    wq_ref, bq_ref, wk1_ref, bk1_ref, wk2_ref, bk2_ref,
+                    wv1_ref, bv1_ref, wv2_ref, bv2_ref,
+                    mq_ref, mk1_ref, mk2_ref, g_ref,
+                    dxq_ref, dx1_ref, dx2_ref,
+                    dwq_ref, dbq_ref, dwk1_ref, dbk1_ref,
+                    dwk2_ref, dbk2_ref, dwv1_ref, dbv1_ref,
+                    dwv2_ref, dbv2_ref,
+                    sq, sk, sv, dq_s, dk_s, dv_s, *,
+                    num_heads, qk_dim, v_dim, scale, dropout_rate,
+                    deterministic, interpret, l1, l2):
+    b = pl.program_id(0)
+    if not deterministic and dropout_rate > 0 and not interpret:
+        pltpu.prng_seed(seed_ref[0] + b)
+    xq = xq_ref[...]
+    x1 = x1_ref[...]
+    x2 = x2_ref[...]
+    sq[...] = _proj(xq, wq_ref, bq_ref)
+    sk[:, :l1, :] = _proj(x1, wk1_ref, bk1_ref)
+    sk[:, l1:, :] = _proj(x2, wk2_ref, bk2_ref)
+    sv[:, :l1, :] = _proj(x1, wv1_ref, bv1_ref)
+    sv[:, l1:, :] = _proj(x2, wv2_ref, bv2_ref)
+    mk_cat = jnp.concatenate([mk1_ref[...], mk2_ref[...]], axis=1)
+    pair = (mq_ref[...][:, :, None] * mk_cat[:, None, :]) > 0
+
+    hpg = _v2_head_groups(num_heads, qk_dim, v_dim)
+
+    def group_body(g, _):
+        qs = pl.dslice(g * hpg * 2 * qk_dim, hpg * 2 * qk_dim)
+        vs = pl.dslice(g * hpg * v_dim, hpg * v_dim)
+        qg = sq[:, :, qs]
+        kg = sk[:, :, qs]
+        vg = sv[:, :, vs]
+        gg = g_ref[:, :, vs].astype(jnp.float32)
+        acc = {k: [] for k in ("dq", "dk", "dv")}
+        for j in range(hpg):
+            sl = slice(j * 2 * qk_dim, (j + 1) * 2 * qk_dim)
+            sl_v = slice(j * v_dim, (j + 1) * v_dim)
+            q_h = qg[:, :, sl]
+            k_h = kg[:, :, sl]
+            v_h = vg[:, :, sl_v]
+            g_h = gg[:, :, sl_v]
+            l = jax.lax.dot_general(
+                q_h, k_h, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            l = jnp.where(pair, l, MASK_FILL_VALUE)
+            keep = None
+            if not deterministic and dropout_rate > 0:
+                # same PRNG stream as the forward: same seed, same order
+                keep = _dropout_keep(l.shape, dropout_rate,
+                                     interpret=interpret,
+                                     seed_val=seed_ref[0] + b,
+                                     salt=g * hpg + j)
+                l = jnp.where(keep, l / (1.0 - dropout_rate), 0.0)
+            p = jax.nn.softmax(l * scale, axis=-1)
+
+            pt = (((1,), (1,)), ((0,), (0,)))
+            acc["dv"].append(jax.lax.dot_general(
+                p, g_h, pt, preferred_element_type=jnp.float32))
+            dp = jax.lax.dot_general(
+                g_h, v_h.astype(jnp.float32), (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            dl = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+            if keep is not None:
+                dl = jnp.where(keep, dl / (1.0 - dropout_rate), 0.0)
+            dl = jnp.where(pair, dl, 0.0)
+            qk = (((2,), (1,)), ((0,), (0,)))
+            acc["dq"].append(jax.lax.dot_general(
+                dl, k_h.astype(jnp.float32), qk,
+                preferred_element_type=jnp.float32))
+            acc["dk"].append(jax.lax.dot_general(
+                dl, q_h.astype(jnp.float32), pt,
+                preferred_element_type=jnp.float32))
+        cat = lambda xs: jnp.concatenate(xs, axis=-1) if hpg > 1 else xs[0]
+        dq_s[:, :, qs] = cat(acc["dq"])
+        dk_s[:, :, qs] = cat(acc["dk"])
+        dv_s[:, :, vs] = cat(acc["dv"])
+        return 0
+
+    jax.lax.fori_loop(0, num_heads // hpg, group_body, 0)
+    dq = dq_s[...]
+    dk1 = dk_s[:, :l1, :]
+    dk2 = dk_s[:, l1:, :]
+    dv1 = dv_s[:, :l1, :]
+    dv2 = dv_s[:, l1:, :]
+
+    t_dims = (((2,), (1,)), ((), ()))   # x @ W^T via contracting W dim 1
+
+    def dgrad(dy, w_ref):
+        return jax.lax.dot_general(
+            dy, w_ref[...].astype(jnp.float32), t_dims,
+            preferred_element_type=jnp.float32)
+
+    dxq_ref[...] = dgrad(dq, wq_ref).astype(dxq_ref.dtype)
+    dx1_ref[...] = (dgrad(dk1, wk1_ref)
+                    + dgrad(dv1, wv1_ref)).astype(dx1_ref.dtype)
+    dx2_ref[...] = (dgrad(dk2, wk2_ref)
+                    + dgrad(dv2, wv2_ref)).astype(dx2_ref.dtype)
+
+    # weight/bias grads accumulate across the sequential batch grid
+    @pl.when(b == 0)
+    def _init():
+        for ref in (dwq_ref, dwk1_ref, dwk2_ref, dwv1_ref, dwv2_ref,
+                    dbq_ref, dbk1_ref, dbk2_ref, dbv1_ref, dbv2_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    def wgrad(x, dy, w_ref, b_ref2):
+        d_in = x.shape[-1]
+        xf = x.reshape(-1, d_in).astype(jnp.float32)
+        dyf = dy.reshape(-1, dy.shape[-1])
+        w_ref[...] += jax.lax.dot_general(
+            xf, dyf, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(w_ref.dtype)
+        b_ref2[...] += dyf.sum(0).astype(b_ref2.dtype)
+
+    wgrad(xq, dq, dwq_ref, dbq_ref)
+    wgrad(x1, dk1, dwk1_ref, dbk1_ref)
+    wgrad(x2, dk2, dwk2_ref, dbk2_ref)
+    wgrad(x1, dv1, dwv1_ref, dbv1_ref)
+    wgrad(x2, dv2, dwv2_ref, dbv2_ref)
+
+
+def _fp2_call_fwd(xq, x1, x2, cws, vws, mask_q, mask_1, mask_2,
+                  dropout_rate, seed, deterministic, interpret, scale,
+                  num_heads):
+    B, Lq, d = xq.shape
+    L1, L2 = x1.shape[1], x2.shape[1]
+    Lk = L1 + L2
+    H = num_heads
+    Dh = d // H
+    bt = _pick_block_b(B)
+    b3 = lambda L, W: pl.BlockSpec((bt, L, W), lambda i, *_: (i, 0, 0))
+    b2 = lambda L: pl.BlockSpec((bt, L), lambda i, *_: (i, 0))
+    w_spec = lambda W: pl.BlockSpec((d, W), lambda i, *_: (0, 0))
+    bias_spec = lambda W: pl.BlockSpec((1, W), lambda i, *_: (0, 0))
+    kernel = functools.partial(_fp2_fwd_kernel, num_heads=H, qk_dim=Dh,
+                               v_dim=Dh, scale=scale,
+                               dropout_rate=dropout_rate,
+                               deterministic=deterministic,
+                               interpret=interpret, l1=L1, l2=L2)
+    in_specs = [b3(Lq, d), b3(L1, d), b3(L2, d)]
+    for _ in range(3):
+        in_specs += [w_spec(2 * d), bias_spec(2 * d)]
+    for _ in range(2):
+        in_specs += [w_spec(d), bias_spec(d)]
+    in_specs += [b2(Lq), b2(L1), b2(L2)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(B // bt,),
+        in_specs=in_specs, out_specs=b3(Lq, d),
+        scratch_shapes=[pltpu.VMEM((bt, Lq, 2 * d), xq.dtype),
+                        pltpu.VMEM((bt, Lk, 2 * d), xq.dtype),
+                        pltpu.VMEM((bt, Lk, d), xq.dtype)])
+    flat_ws = []
+    for w, bias in cws:
+        flat_ws += [w, bias.reshape(1, 2 * d)]
+    for w, bias in vws:
+        flat_ws += [w, bias.reshape(1, d)]
+    out = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Lq, d), xq.dtype),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(seed, xq, x1, x2, *flat_ws,
+      mask_q.astype(jnp.int32), mask_1.astype(jnp.int32),
+      mask_2.astype(jnp.int32))
+    return out
+
+
+def _fp2_call_bwd(xq, x1, x2, cws, vws, mask_q, mask_1, mask_2, g,
+                  dropout_rate, seed, deterministic, interpret, scale,
+                  num_heads):
+    B, Lq, d = xq.shape
+    L1, L2 = x1.shape[1], x2.shape[1]
+    Lk = L1 + L2
+    H = num_heads
+    Dh = d // H
+    bt = _pick_block_b(B)
+    b3 = lambda L, W: pl.BlockSpec((bt, L, W), lambda i, *_: (i, 0, 0))
+    b2 = lambda L: pl.BlockSpec((bt, L), lambda i, *_: (i, 0))
+    w_spec = lambda W: pl.BlockSpec((d, W), lambda i, *_: (0, 0))
+    bias_spec = lambda W: pl.BlockSpec((1, W), lambda i, *_: (0, 0))
+    kernel = functools.partial(_fp2_bwd_kernel, num_heads=H, qk_dim=Dh,
+                               v_dim=Dh, scale=scale,
+                               dropout_rate=dropout_rate,
+                               deterministic=deterministic,
+                               interpret=interpret, l1=L1, l2=L2)
+    in_specs = [b3(Lq, d), b3(L1, d), b3(L2, d)]
+    for _ in range(3):
+        in_specs += [w_spec(2 * d), bias_spec(2 * d)]
+    for _ in range(2):
+        in_specs += [w_spec(d), bias_spec(d)]
+    in_specs += [b2(Lq), b2(L1), b2(L2), b3(Lq, d)]
+    out_specs = [b3(Lq, d), b3(L1, d), b3(L2, d)]
+    out_shapes = [jax.ShapeDtypeStruct((B, Lq, d), xq.dtype),
+                  jax.ShapeDtypeStruct((B, L1, d), x1.dtype),
+                  jax.ShapeDtypeStruct((B, L2, d), x2.dtype)]
+    for _ in range(3):
+        out_specs += [w_spec(2 * d), bias_spec(2 * d)]
+        out_shapes += [jax.ShapeDtypeStruct((d, 2 * d), jnp.float32),
+                       jax.ShapeDtypeStruct((1, 2 * d), jnp.float32)]
+    for _ in range(2):
+        out_specs += [w_spec(d), bias_spec(d)]
+        out_shapes += [jax.ShapeDtypeStruct((d, d), jnp.float32),
+                       jax.ShapeDtypeStruct((1, d), jnp.float32)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(B // bt,),
+        in_specs=in_specs, out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((bt, Lq, 2 * d), xq.dtype),
+                        pltpu.VMEM((bt, Lk, 2 * d), xq.dtype),
+                        pltpu.VMEM((bt, Lk, d), xq.dtype),
+                        pltpu.VMEM((bt, Lq, 2 * d), jnp.float32),
+                        pltpu.VMEM((bt, Lk, 2 * d), jnp.float32),
+                        pltpu.VMEM((bt, Lk, d), jnp.float32)])
+    flat_ws = []
+    for w, bias in cws:
+        flat_ws += [w, bias.reshape(1, 2 * d)]
+    for w, bias in vws:
+        flat_ws += [w, bias.reshape(1, d)]
+    outs = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=out_shapes,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(seed, xq, x1, x2, *flat_ws,
+      mask_q.astype(jnp.int32), mask_1.astype(jnp.int32),
+      mask_2.astype(jnp.int32), g)
+    dxq, dx1, dx2 = outs[0], outs[1], outs[2]
+    dcws = [(outs[3 + 2 * i], outs[4 + 2 * i].reshape(2 * d))
+            for i in range(3)]
+    dvws = [(outs[9 + 2 * i], outs[10 + 2 * i].reshape(d))
+            for i in range(2)]
+    return dxq, dx1, dx2, dcws, dvws
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(18, 19, 20, 21, 22))
+def _fused_proj_attention_v2(xq, x1, x2,
+                             wq1, bq1, wq2, bq2, wk1, bk1, wk2, bk2,
+                             wv1, bv1, wv2, bv2, mask_q, mask_1, mask_2,
+                             dropout_rate, deterministic, interpret, scale,
+                             num_heads, seed):
+    wq_c, bq_c, wk1_c, bk1_c, wk2_c, bk2_c = _interleave_ws(
+        wq1, bq1, wq2, bq2, wk1, bk1, wk2, bk2, num_heads)
+    cws = [(wq_c, bq_c), (wk1_c, bk1_c), (wk2_c, bk2_c)]
+    vws = [(wv1, bv1), (wv2, bv2)]
+    return _fp2_call_fwd(xq, x1, x2, cws, vws, mask_q, mask_1, mask_2,
+                         dropout_rate, seed, deterministic, interpret,
+                         scale, num_heads)
+
+
+def _fp2_fwd_rule(xq, x1, x2, wq1, bq1, wq2, bq2, wk1, bk1, wk2, bk2,
+                  wv1, bv1, wv2, bv2, mask_q, mask_1, mask_2,
+                  dropout_rate, deterministic, interpret, scale, num_heads,
+                  seed):
+    out = _fused_proj_attention_v2(
+        xq, x1, x2, wq1, bq1, wq2, bq2, wk1, bk1, wk2, bk2, wv1, bv1,
+        wv2, bv2, mask_q, mask_1, mask_2, dropout_rate, deterministic,
+        interpret, scale, num_heads, seed)
+    res = (xq, x1, x2, wq1, bq1, wq2, bq2, wk1, bk1, wk2, bk2, wv1, bv1,
+           wv2, bv2, mask_q, mask_1, mask_2, seed)
+    return out, res
+
+
+def _fp2_bwd_rule(dropout_rate, deterministic, interpret, scale, num_heads,
+                  res, g):
+    (xq, x1, x2, wq1, bq1, wq2, bq2, wk1, bk1, wk2, bk2, wv1, bv1, wv2,
+     bv2, mask_q, mask_1, mask_2, seed) = res
+    wq_c, bq_c, wk1_c, bk1_c, wk2_c, bk2_c = _interleave_ws(
+        wq1, bq1, wq2, bq2, wk1, bk1, wk2, bk2, num_heads)
+    cws = [(wq_c, bq_c), (wk1_c, bk1_c), (wk2_c, bk2_c)]
+    vws = [(wv1, bv1), (wv2, bv2)]
+    dxq, dx1, dx2, dcws, dvws = _fp2_call_bwd(
+        xq, x1, x2, cws, vws, mask_q, mask_1, mask_2, g, dropout_rate,
+        seed, deterministic, interpret, scale, num_heads)
+    (dwq_c, dbq_c), (dwk1_c, dbk1_c), (dwk2_c, dbk2_c) = dcws
+    (dwv1, dbv1), (dwv2, dbv2) = dvws
+    H = num_heads
+    grads = [dxq, dx1, dx2,
+             _deinterleave_w(dwq_c, H, 0).astype(wq1.dtype),
+             _deinterleave_b(dbq_c, H, 0).astype(bq1.dtype),
+             _deinterleave_w(dwq_c, H, 1).astype(wq2.dtype),
+             _deinterleave_b(dbq_c, H, 1).astype(bq2.dtype),
+             _deinterleave_w(dwk1_c, H, 0).astype(wk1.dtype),
+             _deinterleave_b(dbk1_c, H, 0).astype(bk1.dtype),
+             _deinterleave_w(dwk2_c, H, 1).astype(wk2.dtype),
+             _deinterleave_b(dbk2_c, H, 1).astype(bk2.dtype),
+             dwv1.astype(wv1.dtype), dbv1.astype(bv1.dtype),
+             dwv2.astype(wv2.dtype), dbv2.astype(bv2.dtype)]
+    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    grads += [f0(mask_q), f0(mask_1), f0(mask_2), f0(seed)]
+    return tuple(grads)
+
+
+_fused_proj_attention_v2.defvjp(_fp2_fwd_rule, _fp2_bwd_rule)

@@ -95,7 +95,8 @@ class InterestEngine:
 
         if self.feature_mode:
             table = np.asarray(feature_table)
-            if config.compute_dtype == "bfloat16":
+            if (config.compute_dtype == "bfloat16"
+                    and table.dtype != jnp.bfloat16):
                 table = table.astype(jnp.bfloat16)
             self.feat_table = jax.device_put(table, self._repl)
         else:
@@ -168,7 +169,25 @@ class InterestEngine:
         opt_state = jax.device_put(self.optimizer.init(params), self._repl)
         return {"params": params, "opt_state": opt_state}
 
+    def batch_transform(self, batch: Dict[str, np.ndarray]):
+        """Start the h2d transfer of the device keys and attach the device
+        views under '_dev', keeping every host field numpy. Passed as
+        BatchIterator(transform=...) so the transfer runs in the prefetch
+        thread and overlaps device compute; put_batch then returns the
+        already-transferred views. jax.device_put only enqueues the copy, so
+        this never blocks the producer. Multi-host placement keeps the
+        synchronous path (make_array_from_process_local_data must run on the
+        consumer's control flow)."""
+        if self._multihost:
+            return batch
+        out = dict(batch)
+        out["_dev"] = {k: jax.device_put(v, self._batch_shard)
+                       for k, v in device_batch(batch).items()}
+        return out
+
     def put_batch(self, batch: Dict[str, np.ndarray]):
+        if "_dev" in batch:
+            return batch["_dev"]
         db = device_batch(batch)
         if self._multihost:
             # every process assembles the same global batch (same files, same
@@ -262,7 +281,9 @@ def run_training(config: InterestConfig, reader: SeqReader,
 
     def make_iter(split, batch_size, shuffle, seed):
         return BatchIterator(reader, reader.tables[split], batch_size,
-                             shuffle=shuffle, feature_store=store, seed=seed)
+                             shuffle=shuffle, feature_store=store, seed=seed,
+                             pool_cap=cfg.pool_cap,
+                             transform=engine.batch_transform)
 
     train_iter = make_iter("train", cfg.train_batch_size, True, cfg.seed)
     valid_iter = make_iter("dev", cfg.valid_batch_size, False, cfg.seed)

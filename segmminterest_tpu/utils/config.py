@@ -99,6 +99,11 @@ class InterestConfig:
     # on TPU for the large attention-logit dropout masks
     rng_impl: str = "rbg"
     n_devices: Optional[int] = None  # None => all visible
+    # candidate-pool cap for the user-history subsample (data/dataset.py):
+    # None => the default 4*user_max cap (marginal probabilities match the
+    # reference; only cross-visit correlation differs, PARITY D7); 0 =>
+    # unlimited, i.e. the reference's exact direct-draw pool semantics
+    pool_cap: Optional[int] = None
 
     @property
     def loss_type_list(self) -> List[str]:

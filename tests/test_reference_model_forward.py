@@ -17,11 +17,8 @@ own files.
 
 from __future__ import annotations
 
-import importlib.util
-import math
 import os
 import sys
-import types
 
 import numpy as np
 import pytest
@@ -33,86 +30,14 @@ REF_MODELS = "/root/reference/MMinterest/models"
 pytestmark = pytest.mark.skipif(not os.path.isdir(REF_MODELS),
                                 reason="reference checkout unavailable")
 
-
-def _exec_into(module_name: str, path: str, package: str = ""):
-    spec = importlib.util.spec_from_file_location(module_name, path)
-    mod = importlib.util.module_from_spec(spec)
-    if package:
-        mod.__package__ = package
-    sys.modules[module_name] = mod
-    spec.loader.exec_module(mod)
-    return mod
+# loader machinery shared with tools/task1_ref_parity.py
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+import ref_torch_loader as rtl  # noqa: E402
 
 
 @pytest.fixture(scope="module")
 def ref_modules():
-    # torch._six was removed from modern torch
-    six = types.ModuleType("torch._six")
-    six.inf = math.inf
-    sys.modules.setdefault("torch._six", six)
-
-    import importlib
-
-    # kn_util's package __init__s are broken (missing evaluate.py, heavy
-    # unused deps); register the package skeletons with real __path__s so the
-    # submodules the model needs load from the reference's own files
-    kn = types.ModuleType("kn_util")
-    kn.__path__ = [os.path.join(REF_MODELS, "kn_util")]
-    sys.modules["kn_util"] = kn
-
-    nn_utils = types.ModuleType("kn_util.nn_utils")
-    nn_utils.__path__ = [os.path.join(REF_MODELS, "kn_util/nn_utils")]
-    sys.modules["kn_util.nn_utils"] = nn_utils
-    kn.nn_utils = nn_utils
-
-    nn_ops = importlib.import_module("kn_util.nn_utils.ops")
-    nn_init = importlib.import_module("kn_util.nn_utils.init")
-    importlib.import_module("kn_util.nn_utils.math")
-    layers = importlib.import_module("kn_util.nn_utils.layers")
-    nn_utils.clones = nn_ops.clones
-    nn_utils.init_module = nn_init.init_module
-    nn_utils.layers = layers
-
-    basic_ops = _exec_into("kn_util._basic_ops",
-                           os.path.join(REF_MODELS, "kn_util/basic/ops.py"))
-    basic = types.ModuleType("kn_util.basic")
-    basic.eval_env = basic_ops.eval_env
-    sys.modules["kn_util.basic"] = basic
-    kn.basic = basic
-
-    # decoder_leave_focal.py:6 imports (and never uses) a pooler from a
-    # `model` package that does not exist anywhere in the reference
-    for name in ("model", "model.ms_temporal_detr",
-                 "model.ms_temporal_detr.ms_pooler"):
-        sys.modules.setdefault(name, types.ModuleType(name))
-    sys.modules["model.ms_temporal_detr.ms_pooler"].MultiScaleRoIAlign1D = \
-        object
-    # ...and :7 imports iou helpers from a `misc` module that is equally
-    # absent; they are only used by compute_iou_loss, which nothing calls
-    misc = types.ModuleType("misc")
-    misc.cw2se = misc.calc_iou = object
-    sys.modules.setdefault("misc", misc)
-    # :8 `from .loss import l1_loss, iou_loss` — models/loss.py was never
-    # committed; :13 torchvision is absent. Neither symbol is reachable from
-    # the forward/compute_loss paths.
-    refpkg = types.ModuleType("refpkg")
-    refpkg.__path__ = [REF_MODELS]
-    sys.modules["refpkg"] = refpkg
-    loss_stub = types.ModuleType("refpkg.loss")
-    loss_stub.l1_loss = loss_stub.iou_loss = object
-    sys.modules["refpkg.loss"] = loss_stub
-    tv = types.ModuleType("torchvision")
-    tv_ops = types.ModuleType("torchvision.ops")
-    tv_ops.sigmoid_focal_loss = object
-    tv.ops = tv_ops
-    sys.modules.setdefault("torchvision", tv)
-    sys.modules.setdefault("torchvision.ops", tv_ops)
-
-    encoder = _exec_into("ref_encoder", os.path.join(REF_MODELS, "encoder.py"))
-    decoder = _exec_into("refpkg.decoder_leave_focal",
-                         os.path.join(REF_MODELS, "decoder_leave_focal.py"),
-                         package="refpkg")
-    return encoder, decoder
+    return rtl.load_ref_modules()
 
 
 # ---------------------------------------------------------------------------
@@ -140,22 +65,11 @@ class RefArgs:
 
 
 def build_ref_model(ref_modules):
-    encoder, decoder = ref_modules
-    args = RefArgs()
-    common = dict(
-        d_model_in=D, d_model_lvls=[D] * LAYERS, num_head_lvls=[HEADS] * LAYERS,
-        ff_dim_lvls=[FF] * LAYERS, input_vid_dim=FEAT, input_usr_dim=FEAT,
-        max_vid_len=LV, sr_ratio_lvls=[1] * LAYERS,
-        use_patch_merge=[False] * LAYERS, output_layers=[-1], model_cfg=args,
-        use_pe=1)
-    backbone1 = encoder.SegFormerX(max_usr_len=USR_MAX_IMG, user_id_max=-1,
-                                   video_id_max=-1, **common)
-    backbone2 = encoder.SegFormerX(max_usr_len=1, user_id_max=N_USERS,
-                                   video_id_max=N_ITEMS, **common)
-    model = decoder.MultiScaleTemporalDetrLeaveFocal(
-        backbone1, backbone2, None, torch.nn.Identity(), args)
-    model.eval()
-    return model
+    args = rtl.make_ref_args(d_model=D, nhead=HEADS, num_layers_enc=LAYERS)
+    return rtl.build_ref_model(ref_modules, args, d=D, heads=HEADS,
+                               layers=LAYERS, ff=FF, feat=FEAT, lv=LV,
+                               usr_max_img=USR_MAX_IMG, n_users=N_USERS,
+                               n_items=N_ITEMS)
 
 
 def build_our_model():
@@ -168,71 +82,11 @@ def build_our_model():
 
 
 # ---------------------------------------------------------------------------
-# flax params -> torch state_dict
+# flax params -> torch state_dict: shared ported from tools/ref_torch_loader
 # ---------------------------------------------------------------------------
 
 def port_params(params, tmodel):
-    sd = dict(tmodel.state_dict())
-
-    def put(key, arr, transpose=False):
-        t = torch.tensor(np.asarray(arr, np.float32))
-        assert key in sd, key
-        t = t.T if transpose else t
-        assert sd[key].shape == t.shape, (key, sd[key].shape, t.shape)
-        sd[key] = t
-
-    def port_dense(tkey, fl):
-        put(tkey + ".weight", fl["kernel"], transpose=True)
-        put(tkey + ".bias", fl["bias"])
-
-    def port_ln(tkey, fl):
-        put(tkey + ".weight", fl["scale"])
-        put(tkey + ".bias", fl["bias"])
-
-    def port_backbone(bb):
-        p = params[bb]
-        if "embedding" in p["vid_proj"]:
-            put(f"{bb}.vid_proj.weight", p["vid_proj"]["embedding"])
-            port_dense(f"{bb}.frameid_proj", p["frameid_proj"])
-        else:
-            port_dense(f"{bb}.vid_proj", p["vid_proj"])
-        if "embedding" in p["usr_proj"]:
-            put(f"{bb}.usr_proj.weight", p["usr_proj"]["embedding"])
-        else:
-            port_dense(f"{bb}.usr_proj", p["usr_proj"])
-        put(f"{bb}.vid_pe.weight", p["vid_pe"])
-        put(f"{bb}.usr_pe.weight", p["usr_pe"])
-        port_ln(f"{bb}.vid_ln", p["vid_ln"])
-        port_ln(f"{bb}.usr_ln", p["usr_ln"])
-        for i in range(LAYERS):
-            key = f"layer_{i}"
-            if key not in p:
-                continue  # flax only builds layers that affect output_layers
-            lp = p[key]
-            base = f"{bb}.encoder.layers.{i}"
-            for stream in ("t2v", "v2v", "t2t", "v2t"):
-                for j in range(3):
-                    port_dense(f"{base}.cross_attn.{stream}_proj.{j}",
-                               lp["cross_attn"][f"{stream}_proj_{j}"])
-            port_dense(f"{base}.cross_attn.ff_usr",
-                       lp["cross_attn"]["ff_usr"])
-            port_dense(f"{base}.cross_attn.ff_vid",
-                       lp["cross_attn"]["ff_vid"])
-            port_ln(f"{base}.cross_attn.ln_usr", lp["cross_attn"]["ln_usr"])
-            port_ln(f"{base}.cross_attn.ln_vid", lp["cross_attn"]["ln_vid"])
-            for ff in ("ff_usr", "ff_vid"):
-                for j in range(2):
-                    port_dense(f"{base}.{ff}.layers.{j}",
-                               lp[ff][f"layer_{j}"])
-            port_ln(f"{base}.ln_usr", lp["ln_usr"])
-            port_ln(f"{base}.ln_vid", lp["ln_vid"])
-
-    port_backbone("backbone1")
-    port_backbone("backbone2")
-    port_dense("fusion_module.w_x", params["fusion_module"]["w_x"])
-    port_dense("fusion_module.w_y", params["fusion_module"]["w_y"])
-    put("fusion_module.w_xy", params["fusion_module"]["w_xy"])
-    tmodel.load_state_dict(sd)
+    rtl.port_params(params, tmodel, LAYERS)
 
 
 # ---------------------------------------------------------------------------

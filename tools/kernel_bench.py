@@ -32,9 +32,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--name", required=True)
-    p.add_argument("--which", default="proj", choices=["proj", "twoblock"])
+    p.add_argument("--which", default="proj",
+                   choices=["proj", "twoblock", "xla"],
+                   help="proj: projection-fused Pallas kernel; twoblock: "
+                        "attention-only Pallas kernel; xla: materialized "
+                        "jnp reference path (projections via XLA matmuls)")
     p.add_argument("--stream", default="video", choices=["video", "user"],
                    help="video: Lq=40 blocks (40,100); user: Lq=100 (100,40)")
+    p.add_argument("--lq", type=int, default=0,
+                   help="override Lq (e.g. backbone2 user stream: 1)")
+    p.add_argument("--l1", type=int, default=0)
+    p.add_argument("--l2", type=int, default=0,
+                   help="override block lengths (backbone2: l2=1)")
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--d_model", type=int, default=512)
     p.add_argument("--nhead", type=int, default=16)
@@ -56,6 +65,9 @@ def main():
         Lq, L1, L2 = 40, 40, 100
     else:
         Lq, L1, L2 = 100, 100, 40
+    Lq = args.lq or Lq
+    L1 = args.l1 or L1
+    L2 = args.l2 or L2
 
     rng = np.random.default_rng(0)
     bf16 = jnp.bfloat16
@@ -65,18 +77,36 @@ def main():
     mask_1 = jnp.asarray(rng.random((B, L1)) < 0.9)
     mask_2 = jnp.asarray(rng.random((B, L2)) < 0.9)
 
-    if args.which == "proj":
+    if args.which in ("proj", "xla"):
         xq, x1, x2 = mk(B, Lq, d), mk(B, L1, d), mk(B, L2, d)
         ws = [mk(d, d) for _ in range(6)]
         bs = [mk(d) for _ in range(6)]
 
-        def fwd(xq, x1, x2, ws, bs):
-            return A.fused_proj_two_block_attention(
-                xq, x1, x2, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2],
-                ws[3], bs[3], ws[4], bs[4], ws[5], bs[5],
-                mask_q, mask_1, mask_2, num_heads=H,
-                dropout_rate=args.dropout, seed=seed,
-                deterministic=bool(args.det))
+        if args.which == "xla":
+            # materialized path: XLA projections + jnp attention (identical
+            # math; prices the Pallas kernel against plain XLA per shape)
+            import math
+
+            def fwd(xq, x1, x2, ws, bs):
+                def pr(x, w, b):
+                    return (x @ w + b).reshape(B, x.shape[1], H, Dh)
+                q, k, v = A._two_block_concat(
+                    pr(xq, ws[0], bs[0]), pr(xq, ws[1], bs[1]),
+                    pr(x1, ws[2], bs[2]), pr(x2, ws[3], bs[3]),
+                    pr(x1, ws[4], bs[4]), pr(x2, ws[5], bs[5]))
+                mask_k = jnp.concatenate([mask_1, mask_2], axis=1)
+                out = A._attention_reference(
+                    q, k, v, mask_q, mask_k, args.dropout, seed,
+                    bool(args.det), 1.0 / math.sqrt(Dh))
+                return out.reshape(B, Lq, d)
+        else:
+            def fwd(xq, x1, x2, ws, bs):
+                return A.fused_proj_two_block_attention(
+                    xq, x1, x2, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2],
+                    ws[3], bs[3], ws[4], bs[4], ws[5], bs[5],
+                    mask_q, mask_1, mask_2, num_heads=H,
+                    dropout_rate=args.dropout, seed=seed,
+                    deterministic=bool(args.det))
 
         if args.bwd:
             def run(xq, x1, x2, ws, bs):

@@ -47,6 +47,13 @@ def main():
     p.add_argument("--num_layers_enc", type=int, default=6)
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--table_rows", type=int, default=N_LINES,
+                   help="feature-table rows (production: 3920483, "
+                        "BASELINE.md Table 1)")
+    p.add_argument("--table_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="host dtype of the synthetic table (bfloat16 halves "
+                        "host RAM and skips the engine-side cast copy)")
     p.add_argument("--profile_dir", default="")
     p.add_argument("--cost_analysis", type=int, default=0,
                    help="print XLA's compiled cost analysis (flops/bytes) "
@@ -71,12 +78,19 @@ def main():
         fuse_projections=bool(args.fuse_projections),
         fuse_qkv=bool(args.fuse_qkv))
 
+    import jax.numpy as jnp
     rng = np.random.default_rng(0)
-    feat_table = rng.normal(size=(N_LINES, FEAT_DIM)).astype(np.float32)
+    dt = jnp.bfloat16 if args.table_dtype == "bfloat16" else np.float32
+    feat_table = np.empty((args.table_rows, FEAT_DIM), dt)
+    for start in range(0, args.table_rows, 262_144):  # chunked: big tables
+        stop = min(start + 262_144, args.table_rows)
+        feat_table[start:stop] = rng.standard_normal(
+            (stop - start, FEAT_DIM), dtype=np.float32).astype(dt)
     engine = InterestEngine(cfg, n_users=1903, n_items=352494,
                             feature_table=feat_table)
 
-    batches = [make_batch(rng, args.batch) for _ in range(4)]
+    batches = [make_batch(rng, args.batch, n_lines=args.table_rows)
+               for _ in range(4)]
     state = engine.init_state(jax.random.PRNGKey(0), batches[0])
     key = jax.random.key(1, impl=cfg.rng_impl)
 
