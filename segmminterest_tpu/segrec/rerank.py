@@ -56,8 +56,11 @@ def build_impressions(corpus, phase: str, pos_len: int, neg_len: int,
 
     With ``history_max`` > 0 the per-user stream of POSITIVE interactions
     across all phases (time-ascending) supplies ``history_items`` /
-    ``history_times`` of items strictly earlier than the impression time
-    (ImpressionSeqReader semantics, BaseImpressionModel.py:237-253).
+    ``history_times`` of items strictly earlier than the impression time,
+    and the NEGATIVE stream likewise supplies ``neg_history_items`` /
+    ``neg_history_times`` / ``neg_lengths`` (ImpressionSeqReader.user_his
+    pos/neg streams, ImpressionSeqReader.py:18-57 +
+    BaseImpressionModel.py:237-253).
     """
     df = corpus.data_df[phase]
     if "label" not in df.columns:
@@ -65,16 +68,19 @@ def build_impressions(corpus, phase: str, pos_len: int, neg_len: int,
                          "(ImpressionReader.py:41) — use the *_CTR dataset")
 
     his_stream: Dict[int, list] = {}
+    neg_his_stream: Dict[int, list] = {}
     if history_max > 0:
         import pandas as pd
         all_df = pd.concat([corpus.data_df[k][
             ["user_id", "item_id", "time", "label"]]
             for k in ("train", "dev", "test")])
-        all_df = all_df[all_df["label"] == 1].sort_values(
-            by=["user_id", "time"], kind="mergesort")
-        for uid, grp in all_df.groupby("user_id", sort=False):
-            his_stream[int(uid)] = list(zip(grp["item_id"].to_numpy(),
-                                            grp["time"].to_numpy()))
+        all_df = all_df.sort_values(by=["user_id", "time"], kind="mergesort")
+        for positive, streams in ((True, his_stream),
+                                  (False, neg_his_stream)):
+            sel = all_df[(all_df["label"] == 1) == positive]
+            for uid, grp in sel.groupby("user_id", sort=False):
+                streams[int(uid)] = list(zip(grp["item_id"].to_numpy(),
+                                             grp["time"].to_numpy()))
 
     users, times = [], []
     pos_items = []
@@ -109,20 +115,22 @@ def build_impressions(corpus, phase: str, pos_len: int, neg_len: int,
         "neg_num": np.asarray(neg_num, np.int32),
     }
     if history_max > 0:
-        his = np.zeros((R, history_max), np.int32)
-        his_t = np.zeros((R, history_max), np.int64)
-        lengths = np.zeros(R, np.int32)
-        for i in range(R):
-            stream = his_stream.get(data["user_id"][i], [])
-            prior = [(it, tt) for it, tt in stream if tt < data["time"][i]]
-            prior = prior[-history_max:]
-            lengths[i] = len(prior)
-            for j, (it, tt) in enumerate(prior):
-                his[i, j] = it
-                his_t[i, j] = tt
-        data["history_items"] = his
-        data["history_times"] = his_t
-        data["lengths"] = lengths
+        for prefix, streams in (("", his_stream), ("neg_", neg_his_stream)):
+            his = np.zeros((R, history_max), np.int32)
+            his_t = np.zeros((R, history_max), np.int64)
+            lengths = np.zeros(R, np.int32)
+            for i in range(R):
+                stream = streams.get(data["user_id"][i], [])
+                prior = [(it, tt) for it, tt in stream
+                         if tt < data["time"][i]]
+                prior = prior[-history_max:]
+                lengths[i] = len(prior)
+                for j, (it, tt) in enumerate(prior):
+                    his[i, j] = it
+                    his_t[i, j] = tt
+            data[f"{prefix}history_items"] = his
+            data[f"{prefix}history_times"] = his_t
+            data[f"{prefix}lengths"] = lengths
     return data
 
 

@@ -65,6 +65,14 @@ def test_build_impressions_history_strictly_earlier():
     np.testing.assert_array_equal(data["history_items"][i, :2], [10, 20])
     i0 = list(data["time"]).index(100)
     assert data["lengths"][i0] == 0
+    # neg history = negative stream with time < impression time
+    # (ImpressionSeqReader.user_his['neg'], ImpressionSeqReader.py:38-50)
+    assert data["neg_lengths"][i] == 2
+    np.testing.assert_array_equal(data["neg_history_items"][i, :2],
+                                  [11, 21])
+    np.testing.assert_array_equal(data["neg_history_times"][i, :2],
+                                  [100, 200])
+    assert data["neg_lengths"][i0] == 0
 
 
 def test_impression_targets():
