@@ -198,3 +198,37 @@ def test_prefetch_propagates_producer_exception():
     with _pytest.raises(RuntimeError, match="boom"):
         for _ in it:
             pass
+
+
+def test_batch_iterator_epochs_and_transform(sample_reader):
+    """epochs(n) streams n reshuffled epochs through one prefetch pipeline;
+    transform= runs in the producer and its '_dev' attachment short-circuits
+    put_batch while host fields stay numpy."""
+    from segmminterest_tpu.data.dataset import BatchIterator
+
+    calls = []
+
+    def tf(batch):
+        calls.append(1)
+        out = dict(batch)
+        out["_dev"] = {"row_mask": batch["row_mask"]}
+        return out
+
+    it = BatchIterator(sample_reader, sample_reader.tables["dev"], 64,
+                       shuffle=True, seed=3, transform=tf)
+    per_epoch = len(it)
+    batches = list(it.epochs(2))
+    assert len(batches) == 2 * per_epoch
+    assert len(calls) == 2 * per_epoch
+    n_rows = len(sample_reader.tables["dev"])
+    total = sum(int(b["row_mask"].sum()) for b in batches)
+    assert total == 2 * n_rows
+    assert all("_dev" in b for b in batches)
+    assert isinstance(batches[0]["label"], np.ndarray)
+    # epoch 2 is a different shuffle than epoch 1
+    ids0 = np.concatenate([b["photo_identity_id"] for b in
+                           batches[:per_epoch]])
+    ids1 = np.concatenate([b["photo_identity_id"] for b in
+                           batches[per_epoch:]])
+    assert not np.array_equal(ids0, ids1)
+    assert sorted(ids0.tolist()) == sorted(ids1.tolist())

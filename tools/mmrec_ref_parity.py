@@ -141,7 +141,7 @@ if not hasattr(dok_matrix, "_update"):
             self[k] = v
     dok_matrix._update = _dok_update
 
-model_name, epochs, stopping, hyper_json = sys.argv[1:5]
+model_name, epochs, stopping, hyper_json, seed = sys.argv[1:6]
 hypers = json.loads(hyper_json)
 
 from utils.configurator import Config
@@ -159,7 +159,7 @@ for k, v in config_dict.items():
     config[k] = v
 config["device"] = torch.device("cpu")
 init_logger(config)
-init_seed(42)
+init_seed(int(seed))
 
 dataset = RecDataset(config)
 train_ds, valid_ds, test_ds = dataset.split()
@@ -184,7 +184,7 @@ print("REF_RESULT " + json.dumps(
 """
 
 
-def run_reference(workdir, model, epochs, stopping):
+def run_reference(workdir, model, epochs, stopping, seed=42):
     src = os.path.join(workdir, "src")
     if not os.path.exists(os.path.join(src, "main.py")):
         shutil.copytree(REF_SRC, src, dirs_exist_ok=True)
@@ -201,7 +201,8 @@ def run_reference(workdir, model, epochs, stopping):
         f.write(REF_DRIVER)
     hypers = json.dumps(HYPERS[model])
     r = subprocess.run(
-        [sys.executable, driver, model, str(epochs), str(stopping), hypers],
+        [sys.executable, driver, model, str(epochs), str(stopping), hypers,
+         str(seed)],
         cwd=src, capture_output=True, text=True, timeout=7200)
     for line in r.stdout.splitlines():
         if line.startswith("REF_RESULT "):
@@ -231,7 +232,8 @@ def degenerate_last_block_graph(feats, knn_k, batch=1024):
 
 
 def run_ours(model, feat_path, epochs, stopping, csv_path,
-             min_interactions, num_warmup, degenerate_graph=False):
+             min_interactions, num_warmup, degenerate_graph=False,
+             seed=42):
     import jax
     jax.config.update("jax_platforms", "cpu")
     from segmminterest_tpu.mmrec.main import main as mmrec_main
@@ -256,7 +258,7 @@ def run_ours(model, feat_path, epochs, stopping, csv_path,
             "--knn_k", str(h["knn_k"]), "--epochs", str(epochs),
             "--stopping_step", str(stopping), "--lr",
             str(h["learning_rate"]), "--use_mask_eval", "0",
-            "--seed", "42"]
+            "--seed", str(seed)]
     if model == "FREEDOM":
         argv += ["--edge_dropout", str(h["dropout"])]
     return mmrec_main(argv)
@@ -278,6 +280,7 @@ def main():
                         "PARITY S5) to isolate how much of the FREEDOM gap "
                         "the degenerate graph explains")
     p.add_argument("--min_interactions", type=int, default=30)
+    p.add_argument("--seed", type=int, default=42)
     p.add_argument("--num_warmup", type=int, default=10)
     args = p.parse_args()
 
@@ -286,18 +289,19 @@ def main():
                                     num_warmup=args.num_warmup)
     csv_path = (os.path.join(args.workdir, "subset.csv")
                 if args.video_mod > 1 else SAMPLE_CSV)
-    out = {"model": args.model, "epochs": args.epochs,
+    out = {"model": args.model, "epochs": args.epochs, "seed": args.seed,
            "n_items": int(data["n_items"]), "video_mod": args.video_mod}
     if args.side in ("both", "ref"):
         ref = run_reference(args.workdir, args.model, args.epochs,
-                            args.stopping_step)
+                            args.stopping_step, seed=args.seed)
         out["reference_test"] = ref["test"]
         print("reference best-test-upon-valid:", ref["test"])
     if args.side in ("both", "ours"):
         ours = run_ours(args.model, feat_path, args.epochs,
                         args.stopping_step, csv_path,
                         args.min_interactions, args.num_warmup,
-                        degenerate_graph=bool(args.ours_degenerate_graph))
+                        degenerate_graph=bool(args.ours_degenerate_graph),
+                        seed=args.seed)
         out["ours_test"] = ours["best_test_upon_valid"]
         print("ours best-test-upon-valid:", ours["best_test_upon_valid"])
     print("PARITY_RESULT " + json.dumps(out, default=float))
