@@ -43,11 +43,12 @@ import os
 # tiles amortize per-block overhead at higher VMEM use (A/B via env)
 DEFAULT_BLOCK_B = int(os.environ.get("SEGMM_ATTN_BLOCK_B", "8"))
 
-# default projection-fused kernel version: 2 = weight-interleaved concat-KV
-# (one QK + one AV dot per head — half the MXU issue count of v1's
-# per-block dots, which microbenchmarked as the kernel bottleneck);
-# 1 = the round-2 per-block kernel
-ATTN_V2 = os.environ.get("SEGMM_ATTN_V2", "1") == "1"
+# projection-fused kernel version: 1 (default) = the round-2 per-block
+# kernel; 2 = weight-interleaved concat-KV (one QK + one AV dot per head).
+# v2 halves the MXU issue count but measured SLOWER at the flagship shapes
+# (13.5 vs 10.9 ms fwd+bwd, tools/kernel_bench.py r3) — the attention loop
+# is not issue-bound; kept as an A/B-able experiment (SEGMM_ATTN_V2=1).
+ATTN_V2 = os.environ.get("SEGMM_ATTN_V2", "0") == "1"
 
 
 def _attention_reference(q, k, v, mask_q, mask_k, dropout_rate, seed,

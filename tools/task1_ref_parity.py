@@ -287,14 +287,16 @@ def run_reference(reader, store):
 
 
 def main():
-    global EPOCHS
+    global EPOCHS, SEED
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="/tmp/task1_parity.json")
     p.add_argument("--skip_pool_cap", type=int, default=0)
     p.add_argument("--epochs", type=int, default=EPOCHS,
                    help="override the training length (smoke: 1)")
+    p.add_argument("--seed", type=int, default=SEED)
     args = p.parse_args()
     EPOCHS = args.epochs
+    SEED = args.seed
 
     import jax
     if jax.default_backend() not in ("cpu",):
