@@ -50,6 +50,18 @@ DEFAULT_BLOCK_B = int(os.environ.get("SEGMM_ATTN_BLOCK_B", "8"))
 # is not issue-bound; kept as an A/B-able experiment (SEGMM_ATTN_V2=1).
 ATTN_V2 = os.environ.get("SEGMM_ATTN_V2", "0") == "1"
 
+# grid dimension semantics for the kernels WITHOUT cross-grid-step
+# accumulation (every fwd kernel, and the two-block bwd whose outputs are
+# all block-local): 'parallel' lets Mosaic reorder/overlap grid steps.
+# The projection-fused bwd accumulates dW across the grid and must stay
+# 'arbitrary'. A/B via SEGMM_ATTN_PAR_GRID=1.
+PAR_GRID = os.environ.get("SEGMM_ATTN_PAR_GRID", "0") == "1"
+
+
+def _grid_semantics():
+    return ("parallel",) if PAR_GRID else ("arbitrary",)
+
+
 
 def _attention_reference(q, k, v, mask_q, mask_k, dropout_rate, seed,
                          deterministic, scale):
@@ -209,7 +221,8 @@ def _call_fwd(q, k, v, mask_q, mask_k, dropout_rate, seed, deterministic,
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Lq, H * Dv), q.dtype),
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=64 * 1024 * 1024,
+            dimension_semantics=_grid_semantics()),
         interpret=interpret,
     )(seed, qf, kf, vf, mask_q.astype(jnp.int32), mask_k.astype(jnp.int32))
     return out.reshape(B, Lq, H, Dv)
@@ -255,7 +268,8 @@ def _call_bwd(q, k, v, mask_q, mask_k, g, dropout_rate, seed, deterministic,
             jax.ShapeDtypeStruct((B, Lk, H * Dv), v.dtype),
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=64 * 1024 * 1024,
+            dimension_semantics=_grid_semantics()),
         interpret=interpret,
     )(seed, qf, kf, vf, mask_q.astype(jnp.int32), mask_k.astype(jnp.int32),
       gf)
@@ -487,7 +501,8 @@ def _call2_fwd(q1, q2, k1, k2, v1, v2, mask_q, mask_k1, mask_k2,
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Lq, H * Dv), q1.dtype),
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=64 * 1024 * 1024,
+            dimension_semantics=_grid_semantics()),
         interpret=interpret,
     )(seed, flat(q1), flat(q2), flat(k1), flat(k2), flat(v1), flat(v2),
       mask_q.astype(jnp.int32), mask_k1.astype(jnp.int32),
@@ -529,7 +544,8 @@ def _call2_bwd(q1, q2, k1, k2, v1, v2, mask_q, mask_k1, mask_k2, g,
             jax.ShapeDtypeStruct((B, L2, H * Dv), v2.dtype),
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=64 * 1024 * 1024,
+            dimension_semantics=_grid_semantics()),
         interpret=interpret,
     )(seed, flat(q1), flat(q2), flat(k1), flat(k2), flat(v1), flat(v2),
       mask_q.astype(jnp.int32), mask_k1.astype(jnp.int32),
@@ -866,7 +882,7 @@ def _fp_call_fwd(xq, x1, x2, ws, mask_q, mask_1, mask_2,
         out_shape=jax.ShapeDtypeStruct((B, Lq, d), xq.dtype),
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=_grid_semantics()),
         interpret=interpret,
     )(seed, xq, x1, x2, *flat_ws,
       mask_q.astype(jnp.int32), mask_1.astype(jnp.int32),
