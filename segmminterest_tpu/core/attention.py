@@ -1022,8 +1022,12 @@ def fused_proj_two_block_attention(xq, x1, x2, wq1, bq1, wq2, bq2,
     d = xq.shape[-1]
     if scale is None:
         scale = 1.0 / float(np.sqrt(d // num_heads))
-    if not interpret and jax.default_backend() not in ("tpu", "axon"):
-        # composed fallback: XLA projections + materialized attention
+    if version == 0 or (not interpret
+                        and jax.default_backend() not in ("tpu", "axon")):
+        # composed path: XLA projections + materialized attention. Also
+        # selectable on TPU with version=0 — for degenerate shapes (e.g.
+        # backbone2's Lq=1 / L2=1 streams) the Pallas grid's per-step fixed
+        # overhead can exceed the whole materialized computation.
         def pr(x, w, bias):
             return (x @ w + bias).reshape(
                 x.shape[0], x.shape[1], num_heads, d // num_heads)
@@ -1061,23 +1065,20 @@ def fused_proj_two_block_attention(xq, x1, x2, wq1, bq1, wq2, bq2,
 
 
 # ---------------------------------------------------------------------------
-# v2 projection-fused kernel: ONE contraction per head over BOTH blocks.
+# v2 projection-fused kernel: ONE contraction per head over BOTH blocks,
+# via weight interleaving — head h of W_q^cat carries [wq1_h|wq2_h] in one
+# 2*Dh-wide lane slab, W_k1^cat carries [wk1_h|0], W_k2^cat [0|wk2_h], so
+# the in-kernel projections produce the concat-KV layout
+# (encoder.py:64-75: q = [q1|q2], K = [[k1|0],[0|k2]], one softmax over
+# both blocks) directly, with no HBM-materialized concat (round 1's
+# mistake) and half the per-head MXU issues of v1.
 #
-# Microbenchmarks (tools/kernel_bench.py, round 3) showed the v1 kernels are
-# bound by MXU issue count, not FLOPs or HBM: the attention-only two-block
-# kernel costs the same as the projection-fused one (projections are ~free),
-# and each head issues 4 batched tiny dots (2 QK + 2 AV, each 8 sequential
-# 40x32-ish matmuls). v2 halves the issue count by restoring the original
-# concat-KV formulation (encoder.py:64-75: q = [q1|q2], K = [[k1|0],[0|k2]],
-# one softmax over both blocks) — but the concatenation is done by
-# INTERLEAVING THE PROJECTION WEIGHTS outside the kernel instead of
-# materializing doubled-width tensors in HBM (round 1's mistake, ~25% of
-# step time in pad/concat fusions): head h of W_q^cat carries [wq1_h|wq2_h]
-# in one 2*Dh-wide lane slab, W_k1^cat carries [wk1_h|0], W_k2^cat [0|wk2_h],
-# so the in-kernel projections produce the interleaved layout directly and
-# per head the whole two-block attention is ONE (Lq,2Dh)x(2Dh,L1+L2) QK dot
-# and ONE (Lq,L1+L2)x(L1+L2,Dv) AV dot. The structural-zero weight slots
-# cost only free MXU FLOPs.
+# MEASURED OUTCOME (tools/kernel_bench.py, round 3): SLOWER than v1 at the
+# flagship shapes (video fwd+bwd 13.5 vs 10.9 ms, user 18.8 vs 17.4) —
+# per-head matmul issue count is NOT the binding constraint; per-grid-step
+# fixed overhead is (see BASELINE.md "revised roofline"). Kept as an
+# A/B-able experiment (SEGMM_ATTN_V2=1 / version=2), fully verified against
+# the materialized path.
 # ---------------------------------------------------------------------------
 
 def _interleave_ws(wq1, bq1, wq2, bq2, wk1, bk1, wk2, bk2, num_heads):
