@@ -986,7 +986,8 @@ def _fp_bwd_rule(dropout_rate, deterministic, interpret, scale, num_heads,
      bv2, mask_q, mask_1, mask_2, seed) = res
     ws = [(wq1, bq1), (wq2, bq2), (wk1, bk1), (wk2, bk2), (wv1, bv1),
           (wv2, bv2)]
-    dxq, dx1, dx2, dws = _fp_call_bwd(
+    bwd_call = _fp3_call_bwd if ATTN_V3_BWD else _fp_call_bwd
+    dxq, dx1, dx2, dws = bwd_call(
         xq, x1, x2, ws, mask_q, mask_1, mask_2, g, dropout_rate, seed,
         deterministic, interpret, scale, num_heads)
     f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
@@ -1475,3 +1476,189 @@ def _fp2_bwd_rule(dropout_rate, deterministic, interpret, scale, num_heads,
 
 
 _fused_proj_attention_v2.defvjp(_fp2_fwd_rule, _fp2_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# v3 backward for the projection-fused kernel: the round-2 bwd accumulates
+# dW across the grid, which forces 'arbitrary' (sequential) grid semantics —
+# and the round-3 microbenchmarks showed parallel grids are worth ~25% on
+# the two-block bwd (8.95 vs ~12 ms). v3 keeps the fused fwd but the bwd
+# kernel only emits the six per-block q/k/v gradients (block-local outputs,
+# parallel-safe); the dx chains and the weight gradients become plain XLA
+# matmuls over the full batch (x^T dy at (B*L, d) x (d, d) — shapes the MXU
+# likes). Costs one ~190 MB HBM round trip of dq/dk/dv per invocation,
+# buys parallel grid execution of the whole attention backward.
+# A/B via SEGMM_ATTN_V3_BWD=1.
+# ---------------------------------------------------------------------------
+
+ATTN_V3_BWD = os.environ.get("SEGMM_ATTN_V3_BWD", "0") == "1"
+
+
+def _fp3_bwd_kernel(seed_ref, xq_ref, x1_ref, x2_ref,
+                    wq1_ref, bq1_ref, wq2_ref, bq2_ref,
+                    wk1_ref, bk1_ref, wk2_ref, bk2_ref,
+                    wv1_ref, bv1_ref, wv2_ref, bv2_ref,
+                    mq_ref, mk1_ref, mk2_ref, g_ref,
+                    dq1_ref, dq2_ref, dk1_ref, dk2_ref, dv1_ref, dv2_ref,
+                    pq1, pq2, pk1, pk2, pv1, pv2, *,
+                    num_heads, qk_dim, v_dim, scale, dropout_rate,
+                    deterministic, interpret):
+    b = pl.program_id(0)
+    if not deterministic and dropout_rate > 0 and not interpret:
+        pltpu.prng_seed(seed_ref[0] + b)
+    xq = xq_ref[...]
+    x1 = x1_ref[...]
+    x2 = x2_ref[...]
+    pq1[...] = _proj(xq, wq1_ref, bq1_ref)
+    pq2[...] = _proj(xq, wq2_ref, bq2_ref)
+    pk1[...] = _proj(x1, wk1_ref, bk1_ref)
+    pk2[...] = _proj(x2, wk2_ref, bk2_ref)
+    pv1[...] = _proj(x1, wv1_ref, bv1_ref)
+    pv2[...] = _proj(x2, wv2_ref, bv2_ref)
+    pair1 = (mq_ref[...][:, :, None] * mk1_ref[...][:, None, :]) > 0
+    pair2 = (mq_ref[...][:, :, None] * mk2_ref[...][:, None, :]) > 0
+
+    hpg = max(1, 128 // qk_dim)
+    if num_heads % hpg != 0 or qk_dim * hpg != 128 or v_dim != qk_dim:
+        hpg = num_heads
+
+    def group_body(g, _):
+        dqs = pl.dslice(g * hpg * qk_dim, hpg * qk_dim)
+        dvs = pl.dslice(g * hpg * v_dim, hpg * v_dim)
+        q1g, q2g = pq1[:, :, dqs], pq2[:, :, dqs]
+        k1g, k2g = pk1[:, :, dqs], pk2[:, :, dqs]
+        v1g, v2g = pv1[:, :, dvs], pv2[:, :, dvs]
+        gg = g_ref[:, :, dvs].astype(jnp.float32)
+        acc = {k: [] for k in ("dq1", "dq2", "dk1", "dk2", "dv1", "dv2")}
+        for j in range(hpg):
+            sl = slice(j * qk_dim, (j + 1) * qk_dim)
+            sl_v = slice(j * v_dim, (j + 1) * v_dim)
+            dims = (((2,), (2,)), ((0,), (0,)))
+            q1_h, q2_h = q1g[:, :, sl], q2g[:, :, sl]
+            k1_h, k2_h = k1g[:, :, sl], k2g[:, :, sl]
+            v1_h, v2_h = v1g[:, :, sl_v], v2g[:, :, sl_v]
+            g_h = gg[:, :, sl_v]
+            l1 = jax.lax.dot_general(q1_h, k1_h, dims,
+                                     preferred_element_type=jnp.float32)
+            l2 = jax.lax.dot_general(q2_h, k2_h, dims,
+                                     preferred_element_type=jnp.float32)
+            # same PRNG stream as the forward: same seed, same draw order
+            p1, p2, keep1, keep2 = _joint_probs(
+                l1, l2, pair1, pair2, scale, dropout_rate, deterministic,
+                interpret, seed_ref[0] + b, g * hpg + j)
+
+            pt = (((1,), (1,)), ((0,), (0,)))
+            acc["dv1"].append(jax.lax.dot_general(
+                p1, g_h, pt, preferred_element_type=jnp.float32))
+            acc["dv2"].append(jax.lax.dot_general(
+                p2, g_h, pt, preferred_element_type=jnp.float32))
+            dp1 = jax.lax.dot_general(g_h, v1_h.astype(jnp.float32), dims,
+                                      preferred_element_type=jnp.float32)
+            dp2 = jax.lax.dot_general(g_h, v2_h.astype(jnp.float32), dims,
+                                      preferred_element_type=jnp.float32)
+            ssum = (dp1 * p1).sum(-1, keepdims=True) \
+                + (dp2 * p2).sum(-1, keepdims=True)
+            dl1 = p1 * (dp1 - ssum) * scale
+            dl2 = p2 * (dp2 - ssum) * scale
+            if not deterministic and dropout_rate > 0:
+                dl1 = jnp.where(keep1, dl1 / (1.0 - dropout_rate), 0.0)
+                dl2 = jnp.where(keep2, dl2 / (1.0 - dropout_rate), 0.0)
+            dl1 = jnp.where(pair1, dl1, 0.0)
+            dl2 = jnp.where(pair2, dl2, 0.0)
+            qk = (((2,), (1,)), ((0,), (0,)))
+            acc["dq1"].append(jax.lax.dot_general(
+                dl1, k1_h.astype(jnp.float32), qk,
+                preferred_element_type=jnp.float32))
+            acc["dq2"].append(jax.lax.dot_general(
+                dl2, k2_h.astype(jnp.float32), qk,
+                preferred_element_type=jnp.float32))
+            acc["dk1"].append(jax.lax.dot_general(
+                dl1, q1_h.astype(jnp.float32), pt,
+                preferred_element_type=jnp.float32))
+            acc["dk2"].append(jax.lax.dot_general(
+                dl2, q2_h.astype(jnp.float32), pt,
+                preferred_element_type=jnp.float32))
+        cat = lambda xs: jnp.concatenate(xs, axis=-1) if hpg > 1 else xs[0]
+        dq1_ref[:, :, dqs] = cat(acc["dq1"]).astype(dq1_ref.dtype)
+        dq2_ref[:, :, dqs] = cat(acc["dq2"]).astype(dq2_ref.dtype)
+        dk1_ref[:, :, dqs] = cat(acc["dk1"]).astype(dk1_ref.dtype)
+        dk2_ref[:, :, dqs] = cat(acc["dk2"]).astype(dk2_ref.dtype)
+        dv1_ref[:, :, dvs] = cat(acc["dv1"]).astype(dv1_ref.dtype)
+        dv2_ref[:, :, dvs] = cat(acc["dv2"]).astype(dv2_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, num_heads // hpg, group_body, 0)
+
+
+def _fp3_call_bwd(xq, x1, x2, ws, mask_q, mask_1, mask_2, g,
+                  dropout_rate, seed, deterministic, interpret, scale,
+                  num_heads):
+    """Parallel-grid qkv-grad kernel + XLA chains for dx and dW."""
+    B, Lq, d = xq.shape
+    L1, L2 = x1.shape[1], x2.shape[1]
+    H = num_heads
+    Dh = d // H
+    bt = _pick_block_b(B)
+    b3 = lambda L: pl.BlockSpec((bt, L, d), lambda i, *_: (i, 0, 0))
+    b2 = lambda L: pl.BlockSpec((bt, L), lambda i, *_: (i, 0))
+    w_spec = pl.BlockSpec((d, d), lambda i, *_: (0, 0))
+    bias_spec = pl.BlockSpec((1, d), lambda i, *_: (0, 0))
+    kernel = functools.partial(_fp3_bwd_kernel, num_heads=H, qk_dim=Dh,
+                               v_dim=Dh, scale=scale,
+                               dropout_rate=dropout_rate,
+                               deterministic=deterministic,
+                               interpret=interpret)
+    in_specs = [b3(Lq), b3(L1), b3(L2)]
+    for _ in range(6):
+        in_specs += [w_spec, bias_spec]
+    in_specs += [b2(Lq), b2(L1), b2(L2), b3(Lq)]
+    out_specs = [b3(Lq), b3(Lq), b3(L1), b3(L2), b3(L1), b3(L2)]
+    out_shapes = [jax.ShapeDtypeStruct((B, Lq, d), jnp.float32),
+                  jax.ShapeDtypeStruct((B, Lq, d), jnp.float32),
+                  jax.ShapeDtypeStruct((B, L1, d), jnp.float32),
+                  jax.ShapeDtypeStruct((B, L2, d), jnp.float32),
+                  jax.ShapeDtypeStruct((B, L1, d), jnp.float32),
+                  jax.ShapeDtypeStruct((B, L2, d), jnp.float32)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(B // bt,),
+        in_specs=in_specs, out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((bt, Lq, d), xq.dtype),
+                        pltpu.VMEM((bt, Lq, d), xq.dtype),
+                        pltpu.VMEM((bt, L1, d), xq.dtype),
+                        pltpu.VMEM((bt, L2, d), xq.dtype),
+                        pltpu.VMEM((bt, L1, d), xq.dtype),
+                        pltpu.VMEM((bt, L2, d), xq.dtype)])
+    flat_ws = []
+    for w, bias in ws:
+        flat_ws += [w, bias.reshape(1, d)]
+    dq1, dq2, dk1, dk2, dv1, dv2 = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=out_shapes,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(seed, xq, x1, x2, *flat_ws,
+      mask_q.astype(jnp.int32), mask_1.astype(jnp.int32),
+      mask_2.astype(jnp.int32), g)
+
+    # XLA chains: dx through the projections, dW/db over the full batch
+    (wq1, bq1), (wq2, bq2), (wk1, bk1), (wk2, bk2), (wv1, bv1), \
+        (wv2, bv2) = ws
+
+    def chain(dy, w):
+        return jnp.einsum("bld,ed->ble", dy,
+                          w.astype(jnp.float32))
+
+    dxq = (chain(dq1, wq1) + chain(dq2, wq2)).astype(xq.dtype)
+    dx1 = (chain(dk1, wk1) + chain(dv1, wv1)).astype(x1.dtype)
+    dx2 = (chain(dk2, wk2) + chain(dv2, wv2)).astype(x2.dtype)
+
+    def wgrad(x, dy):
+        xf = x.reshape(-1, d).astype(jnp.float32)
+        dyf = dy.reshape(-1, d)
+        return xf.T @ dyf, dyf.sum(0)
+
+    dws = [wgrad(xq, dq1), wgrad(xq, dq2), wgrad(x1, dk1), wgrad(x2, dk2),
+           wgrad(x1, dv1), wgrad(x2, dv2)]
+    return dxq, dx1, dx2, dws

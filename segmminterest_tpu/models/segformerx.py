@@ -262,12 +262,18 @@ class FourStreamAttention(nn.Module):
             (wq1, bq1), (wq2, bq2) = cast(pq1), cast(pq2)
             (wk1, bk1), (wk2, bk2) = cast(pk1), cast(pk2)
             (wv1, bv1), (wv2, bv2) = cast(pv1), cast(pv2)
+            # degenerate single-query streams (the ID backbone's usr stream,
+            # max_usr_len=1) go through the composed XLA path: the Pallas
+            # grid's per-step fixed overhead exceeds the whole materialized
+            # computation there (measured 5.1 vs 1.9 ms fwd+bwd,
+            # kernel_bench r3)
+            version = 0 if (xq.shape[1] == 1 and not self.interpret) else None
             return fused_proj_two_block_attention(
                 xq, x1, x2, wq1, bq1, wq2, bq2, wk1, bk1, wk2, bk2,
                 wv1, bv1, wv2, bv2, mq, m1, m2, num_heads=self.num_heads,
                 dropout_rate=rate, seed=seed[slot],
                 deterministic=deterministic, interpret=self.interpret,
-                scale=scale)
+                scale=scale, version=version)
 
         # vid stream: block1 = v2v (q,k,v of vid), block2 = t2v (q of vid,
         # k/v of usr); usr stream: block1 = v2t (q of usr, k/v of vid),
