@@ -242,11 +242,13 @@ def measure_production(result: dict) -> None:
         os.remove(out)
     except FileNotFoundError:
         pass
+    # attention-scope remat fits alongside the 8 GB table and beats layer
+    # remat at production scale (2,714 vs 2,481 ips, r3 perf_ab)
     cmd = [sys.executable,
            os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "tools", "perf_ab.py"),
            "--name", "bench_production", "--remat", "1",
-           "--remat_scope", "layer", "--fuse_qkv", "1",
+           "--remat_scope", "attention", "--fuse_qkv", "1",
            "--table_rows", str(PRODUCTION_ROWS),
            "--table_dtype", "bfloat16", "--out", out]
     try:

@@ -352,3 +352,77 @@ def test_proj_kernel_v2_dropout_grad_consistency(rng):
     fd = (f(xq + eps * v) - f(xq - eps * v)) / (2 * eps)
     np.testing.assert_allclose(float((g * v).sum()), float(fd),
                                rtol=2e-3)
+
+
+@pytest.mark.parametrize("shape", [(5, 8, 7, 4, 32),
+                                   (40, 40, 100, 16, 64),
+                                   (1, 40, 1, 4, 32)])
+def test_proj_kernel_v3_bwd_matches_materialized(rng, shape, monkeypatch):
+    """v3 backward (parallel-grid qkv-grad kernel + XLA dx/dW chains) must
+    produce the same gradients as the composed path."""
+    import jax
+    import jax.numpy as jnp
+    from segmminterest_tpu.core import attention as A
+
+    monkeypatch.setattr(A, "ATTN_V3_BWD", True)
+    Lq, L1, L2, H, d = shape
+    B = 8
+    mk = lambda *s: jnp.asarray(rng.normal(size=s) * 0.3, jnp.float32)
+    xq, x1, x2 = mk(B, Lq, d), mk(B, L1, d), mk(B, L2, d)
+    ws = [mk(d, d) for _ in range(6)]
+    bs = [mk(d) for _ in range(6)]
+    mq = jnp.asarray(rng.random((B, Lq)) < 0.9)
+    m1 = jnp.asarray(rng.random((B, L1)) < 0.9)
+    m2 = jnp.asarray(rng.random((B, L2)) < 0.9)
+    seed = jnp.ones((1,), jnp.int32)
+
+    def call(version, interpret):
+        def f(xq, x1, x2, ws, bs):
+            out = A.fused_proj_two_block_attention(
+                xq, x1, x2, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2],
+                ws[3], bs[3], ws[4], bs[4], ws[5], bs[5], mq, m1, m2,
+                num_heads=H, dropout_rate=0.0, seed=seed,
+                deterministic=True, interpret=interpret, version=version)
+            return (out.astype(jnp.float32) ** 2).sum()
+        return jax.grad(f, argnums=(0, 1, 2, 3, 4))(xq, x1, x2, ws, bs)
+
+    ref_g = call(version=None, interpret=False)
+    v3_g = call(version=1, interpret=True)
+    for a, b in zip(jax.tree_util.tree_leaves(v3_g),
+                    jax.tree_util.tree_leaves(ref_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-4)
+
+
+def test_proj_kernel_v3_dropout_grad_consistency(rng, monkeypatch):
+    """v3 backward regenerates the forward's dropout stream; a central
+    finite difference through the same seed must match the VJP gradient."""
+    import jax
+    import jax.numpy as jnp
+    from segmminterest_tpu.core import attention as A
+
+    monkeypatch.setattr(A, "ATTN_V3_BWD", True)
+    B, Lq, L1, L2, H, d = 8, 5, 8, 7, 4, 32
+    mk = lambda *s: jnp.asarray(rng.normal(size=s) * 0.3, jnp.float32)
+    xq, x1, x2 = mk(B, Lq, d), mk(B, L1, d), mk(B, L2, d)
+    ws = [mk(d, d) for _ in range(6)]
+    bs = [mk(d) for _ in range(6)]
+    mq = jnp.ones((B, Lq), bool)
+    m1 = jnp.ones((B, L1), bool)
+    m2 = jnp.ones((B, L2), bool)
+    seed = jnp.full((1,), 3, jnp.int32)
+
+    def f(xq):
+        out = A.fused_proj_two_block_attention(
+            xq, x1, x2, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2],
+            ws[3], bs[3], ws[4], bs[4], ws[5], bs[5], mq, m1, m2,
+            num_heads=H, dropout_rate=0.3, seed=seed,
+            deterministic=False, interpret=True, version=1)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    g = jax.grad(f)(xq)
+    v = jnp.asarray(np.random.default_rng(5).normal(size=xq.shape),
+                    jnp.float32)
+    eps = 1e-2
+    fd = (f(xq + eps * v) - f(xq - eps * v)) / (2 * eps)
+    np.testing.assert_allclose(float((g * v).sum()), float(fd), rtol=5e-3)
