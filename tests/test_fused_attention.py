@@ -426,3 +426,43 @@ def test_proj_kernel_v3_dropout_grad_consistency(rng, monkeypatch):
     eps = 1e-2
     fd = (f(xq + eps * v) - f(xq - eps * v)) / (2 * eps)
     np.testing.assert_allclose(float((g * v).sum()), float(fd), rtol=5e-3)
+
+
+def test_degenerate_single_query_stream_version0_matches_kernel(rng):
+    """The ID backbone's user stream is Lq=1 (max_usr_len=1); segformerx
+    routes it through the composed XLA path (version=0) because the Pallas
+    grid overhead exceeds the whole computation there (kernel_bench r3:
+    5.1 vs 1.9 ms fwd+bwd). version=0 must be numerically identical to the
+    v1 kernel on that shape — forward and all input/weight grads."""
+    from segmminterest_tpu.core import attention as A
+
+    B, Lq, L1, L2, H, d = 8, 1, 8, 1, 4, 32
+    mk = lambda *s: jnp.asarray(rng.normal(size=s) * 0.3, jnp.float32)
+    xq, x1, x2 = mk(B, Lq, d), mk(B, L1, d), mk(B, L2, d)
+    ws = [mk(d, d) for _ in range(6)]
+    bs = [mk(d) for _ in range(6)]
+    mq = jnp.ones((B, Lq), bool)
+    m1 = jnp.asarray(rng.random((B, L1)) < 0.9)
+    m2 = jnp.ones((B, L2), bool)
+    seed = jnp.ones((1,), jnp.int32)
+
+    def call(version, interpret):
+        def f(xq, x1, x2, ws, bs):
+            out = A.fused_proj_two_block_attention(
+                xq, x1, x2, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2],
+                ws[3], bs[3], ws[4], bs[4], ws[5], bs[5], mq, m1, m2,
+                num_heads=H, dropout_rate=0.0, seed=seed,
+                deterministic=True, interpret=interpret, version=version)
+            return (out.astype(jnp.float32) ** 2).sum(), out
+        (_, out), grads = jax.value_and_grad(
+            f, argnums=(0, 1, 2, 3, 4), has_aux=True)(xq, x1, x2, ws, bs)
+        return out, grads
+
+    v0_out, v0_g = call(version=0, interpret=False)
+    k_out, k_g = call(version=1, interpret=True)
+    np.testing.assert_allclose(np.asarray(v0_out), np.asarray(k_out),
+                               rtol=2e-4, atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(v0_g),
+                    jax.tree_util.tree_leaves(k_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-4)
