@@ -93,6 +93,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"])
     p.add_argument("--remat", type=int, default=int(d.remat),
                    help="rematerialize encoder layers on backward")
+    p.add_argument("--remat_scope", type=str, default=d.remat_scope,
+                   choices=["layer", "attention"],
+                   help="remat granularity: whole encoder layer, or the "
+                        "attention block only (cheaper recompute, more "
+                        "memory; wins at production table size)")
     p.add_argument("--fused_attention", type=int,
                    default=int(d.fused_attention),
                    help="Pallas fused masked-attention kernel")
@@ -139,6 +144,7 @@ def config_from_args(args: argparse.Namespace) -> InterestConfig:
         plot_curves=bool(args.plot_curves),
         draw_case=args.draw_case,
         compute_dtype=args.compute_dtype, remat=bool(args.remat),
+        remat_scope=args.remat_scope,
         fused_attention=bool(args.fused_attention),
         fuse_projections=bool(args.fuse_projections))
     cfg.loss_weight["surviveCE"] = args.loss_weight_surviveCE
