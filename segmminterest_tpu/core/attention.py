@@ -57,6 +57,24 @@ ATTN_V2 = os.environ.get("SEGMM_ATTN_V2", "0") == "1"
 # 'arbitrary'. A/B via SEGMM_ATTN_PAR_GRID=1.
 PAR_GRID = os.environ.get("SEGMM_ATTN_PAR_GRID", "0") == "1"
 
+# Heads statically unrolled per fori_loop group in the v1 projection-fused
+# kernels. Default 128/qk_dim (one 128-lane slab). Wider groups (e.g. 8 ->
+# a 256-lane slab, still 128-aligned) expose more independent per-head MXU
+# dots for pipelining; a FULL 16-head unroll wedges the Mosaic compiler.
+HPG_OVERRIDE = int(os.environ.get("SEGMM_ATTN_HPG", "0"))
+
+
+def _head_group_size(num_heads, qk_dim, v_dim):
+    hpg = max(1, 128 // qk_dim)
+    if HPG_OVERRIDE:
+        cand = HPG_OVERRIDE
+        if (num_heads % cand == 0 and (qk_dim * cand) % 128 == 0
+                and v_dim == qk_dim):
+            return cand
+    if num_heads % hpg != 0 or qk_dim * hpg != 128 or v_dim != qk_dim:
+        hpg = num_heads     # small models: one static group
+    return hpg
+
 
 def _grid_semantics():
     return ("parallel",) if PAR_GRID else ("arbitrary",)
@@ -653,12 +671,10 @@ def _fp_fwd_kernel(seed_ref, xq_ref, x1_ref, x2_ref,
     pair2 = (mq_ref[...][:, :, None] * mk2_ref[...][:, None, :]) > 0
 
     # Grouped fori_loop: dynamic lane-dim slices must be 128-aligned on TPU,
-    # so the loop walks groups of 128/qk_dim heads and unrolls statically
-    # inside each 128-wide group slab (a full unroll over all heads wedges
-    # the Mosaic compiler).
-    hpg = max(1, 128 // qk_dim)
-    if num_heads % hpg != 0 or qk_dim * hpg != 128 or v_dim != qk_dim:
-        hpg = num_heads     # small models: one static group
+    # so the loop walks groups of 128/qk_dim heads (SEGMM_ATTN_HPG widens
+    # the slab) and unrolls statically inside each group (a full unroll
+    # over all heads wedges the Mosaic compiler).
+    hpg = _head_group_size(num_heads, qk_dim, v_dim)
 
     def group_body(g, _):
         dq = pl.dslice(g * hpg * qk_dim, hpg * qk_dim)
@@ -726,9 +742,7 @@ def _fp_bwd_kernel(seed_ref, xq_ref, x1_ref, x2_ref,
     # Grouped fori_loop (see _fp_fwd_kernel): 128-lane slabs with static
     # per-head unrolling inside; per-head grads are concatenated and stored
     # once per slab into the VMEM scratch refs (sq1..sv2)
-    hpg = max(1, 128 // qk_dim)
-    if num_heads % hpg != 0 or qk_dim * hpg != 128 or v_dim != qk_dim:
-        hpg = num_heads
+    hpg = _head_group_size(num_heads, qk_dim, v_dim)
 
     def group_body(g, _):
         dqs = pl.dslice(g * hpg * qk_dim, hpg * qk_dim)

@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -73,3 +74,56 @@ def to_host_global(x) -> np.ndarray:
         from jax.experimental import multihost_utils
         return np.asarray(multihost_utils.process_allgather(x, tiled=True))
     return np.asarray(x)
+
+
+def model_axis_size(mesh: Mesh) -> int:
+    return mesh.shape[MODEL_AXIS]
+
+
+def table_sharding(mesh: Mesh) -> NamedSharding:
+    """Row-shard a (rows, dim) feature table over the MODEL axis.
+
+    The production SegMM table (3,920,483 rows x 1024 bf16 ≈ 8 GB,
+    BASELINE.md Table 1) consumes half of one v5e's HBM; at 2x the corpus a
+    single chip cannot hold it. Sharding rows over 'model' scales table
+    capacity linearly with the model-axis size while 'data' keeps scaling
+    the batch."""
+    return NamedSharding(mesh, P(MODEL_AXIS, None))
+
+
+def pad_table_rows(table: np.ndarray, mesh: Mesh) -> np.ndarray:
+    """Zero-pad rows so the table divides evenly over the model axis."""
+    m = model_axis_size(mesh)
+    n = table.shape[0]
+    pad = (-n) % m
+    if pad:
+        table = np.concatenate(
+            [table, np.zeros((pad,) + table.shape[1:], table.dtype)])
+    return table
+
+
+def sharded_table_gather(mesh: Mesh, table, ids):
+    """Gather rows of a model-axis-sharded table for a data-sharded id batch.
+
+    Classic sharded-embedding pattern: every model shard gathers the ids
+    that fall inside its row range (others contribute zeros) and a psum
+    over 'model' assembles the full rows. ICI traffic = the gathered
+    output, not the table. ids: (B, L) int32 >= 0; returns (B, L, dim).
+    """
+    from functools import partial
+    from jax.experimental.shard_map import shard_map
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(MODEL_AXIS, None), P(DATA_AXIS, None)),
+             out_specs=P(DATA_AXIS, None, None))
+    def gather(tab_local, ids_local):
+        rows_per = tab_local.shape[0]
+        offset = jax.lax.axis_index(MODEL_AXIS) * rows_per
+        local = ids_local - offset
+        ok = (local >= 0) & (local < rows_per)
+        local = jnp.clip(local, 0, rows_per - 1)
+        out = jnp.take(tab_local, local, axis=0)
+        out = out * ok[..., None].astype(out.dtype)
+        return jax.lax.psum(out, MODEL_AXIS)
+
+    return gather(table, ids)

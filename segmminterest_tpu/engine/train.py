@@ -33,7 +33,9 @@ import numpy as np
 import optax
 
 from ..core.mesh import (make_mesh, batch_sharding, is_multihost,
-                         replicated_sharding, to_host_global)
+                         model_axis_size, pad_table_rows,
+                         replicated_sharding, sharded_table_gather,
+                         table_sharding, to_host_global)
 from ..core.numerics import l1_normalize
 from ..data.dataset import BatchIterator
 from ..data.reader import SeqReader
@@ -93,12 +95,23 @@ class InterestEngine:
         self._batch_shard = batch_sharding(self.mesh)
         self._multihost = is_multihost(self.mesh)
 
+        self._table_sharded = False
         if self.feature_mode:
             table = np.asarray(feature_table)
             if (config.compute_dtype == "bfloat16"
                     and table.dtype != jnp.bfloat16):
                 table = table.astype(jnp.bfloat16)
-            self.feat_table = jax.device_put(table, self._repl)
+            if model_axis_size(self.mesh) > 1:
+                # row-shard the table over the model axis: table capacity
+                # scales with mesh width (the 3.9M-row production table is
+                # ~8 GB — half of one v5e's HBM); gathers become
+                # local-gather + psum over 'model' (sharded_table_gather)
+                table = pad_table_rows(table, self.mesh)
+                self.feat_table = jax.device_put(
+                    table, table_sharding(self.mesh))
+                self._table_sharded = True
+            else:
+                self.feat_table = jax.device_put(table, self._repl)
         else:
             self.feat_table = None
 
@@ -116,11 +129,15 @@ class InterestEngine:
         vid_mask = batch["vid_mask"]
         usr_mask = batch["user_mask"]
         if self.feature_mode:
-            photo = jnp.take(feat_table,
-                             jnp.clip(batch["photo_lines"], 0), axis=0)
+            if self._table_sharded:
+                gather = lambda ids: sharded_table_gather(  # noqa: E731
+                    self.mesh, feat_table, jnp.clip(ids, 0))
+            else:
+                gather = lambda ids: jnp.take(  # noqa: E731
+                    feat_table, jnp.clip(ids, 0), axis=0)
+            photo = gather(batch["photo_lines"])
             photo = photo * vid_mask[..., None].astype(photo.dtype)
-            user = jnp.take(feat_table,
-                            jnp.clip(batch["user_lines"], 0), axis=0)
+            user = gather(batch["user_lines"])
             user = user * usr_mask[..., None].astype(user.dtype)
             usr_image = l1_normalize(user)
             vid_image = l1_normalize(photo)

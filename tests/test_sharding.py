@@ -104,3 +104,53 @@ def test_segrec_runner_sharded_matches_single_device(segrec_data):
     for k in a:
         np.testing.assert_allclose(a[k], b[k], rtol=2e-4, atol=2e-5,
                                    err_msg=k)
+
+
+def test_sharded_table_gather_matches_take():
+    """Model-axis-sharded feature-table gather (local gather + psum over
+    'model') must equal a plain jnp.take on the unsharded table — including
+    ids in the zero-padded tail region added by pad_table_rows."""
+    import jax.numpy as jnp
+    from segmminterest_tpu.core.mesh import (pad_table_rows,
+                                             sharded_table_gather,
+                                             table_sharding)
+
+    mesh = make_mesh(jax.devices(), data=4, model=2)
+    rng = np.random.default_rng(3)
+    table = rng.normal(size=(37, 16)).astype(np.float32)   # 37 % 2 != 0
+    ids = rng.integers(0, 37, size=(8, 5)).astype(np.int32)
+
+    padded = pad_table_rows(table, mesh)
+    assert padded.shape[0] == 38
+    dev_table = jax.device_put(padded, table_sharding(mesh))
+    out = sharded_table_gather(mesh, dev_table, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(out), table[ids], rtol=0, atol=0)
+
+
+@pytest.mark.slow
+def test_model_axis_table_sharding_matches_replicated_training():
+    """A (4, 2) mesh with the feature table row-sharded over 'model' must
+    produce the same train step as the replicated single-device table."""
+    from segmminterest_tpu.engine.train import InterestEngine
+    import __graft_entry__ as ge
+
+    cfg = ge._tiny_config()
+    rng = np.random.default_rng(0)
+    feat = rng.normal(size=(63, 32)).astype(np.float32)    # odd row count
+    batch = ge._tiny_batch(rng, 16, 63)
+
+    outs = []
+    for mesh in (make_mesh(jax.devices()[:1]),
+                 make_mesh(jax.devices(), data=4, model=2)):
+        engine = InterestEngine(cfg, n_users=20, n_items=50,
+                                feature_table=feat, mesh=mesh)
+        if mesh.shape["model"] == 2:
+            assert engine._table_sharded
+        state = engine.init_state(jax.random.PRNGKey(0), batch)
+        state, ld = engine.train_step(state, jax.random.PRNGKey(1), batch)
+        outs.append((jax.tree.map(np.asarray, state["params"]),
+                     float(ld["loss"])))
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(outs[0][0]),
+                    jax.tree_util.tree_leaves(outs[1][0])):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
