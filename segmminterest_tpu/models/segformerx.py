@@ -9,9 +9,11 @@ TPU-first re-design, not a translation:
 * The four attention streams (v2v, t2v, v2t, t2t) are expressed as two
   concat-KV attentions whose matmuls XLA tiles directly onto the MXU.
 * All experiments in the reference run with sr_ratio=1 and
-  use_patch_merge=False (main_for_seq_leave_earlystop_SegMM.py:94); the conv
-  down-sampling pyramid is therefore not replicated — the layer stack is the
-  uniform-width path the paper actually uses.
+  use_patch_merge=False (main_for_seq_leave_earlystop_SegMM.py:94); the
+  uniform-width stack is the hot path (fused Pallas attention). The conv
+  pyramid (sr_ratio_lvls / use_patch_merge) IS supported for capability
+  parity, on the unfused XLA attention path, plus a working SegFormerXFPN
+  (the reference's FPN class is unrunnable version skew — see PARITY M2).
 
 Faithful quirks (kept deliberately, documented in PARITY.md):
 * Attention logits are mask-filled with -10000.0 *before* the 1/sqrt(d_head)
@@ -130,6 +132,11 @@ class FourStreamAttention(nn.Module):
     # dq/dk/dv never materialize in HBM (the memory-bound step's largest
     # traffic term). Parameter tree identical to the unfused path.
     fuse_qkv: bool = False
+    # conv down-sampling of the VIDEO K/V source (encoder.py:23-31,84-93):
+    # Conv1d(d, d, kernel=sr, stride=sr, pad=(sr-1)//2) over the sequence,
+    # mask via MaxPool1d(sr, sr). Disabled (1) in every published run
+    # (main_…SegMM.py:94); supported on the unfused path only.
+    sr_ratio: int = 1
 
     def _split_heads(self, x):
         b, l, _ = x.shape
@@ -142,6 +149,34 @@ class FourStreamAttention(nn.Module):
         dh = d // self.num_heads
 
         drop = nn.Dropout(self.dropout)
+        if self.sr_ratio > 1 and self.fused:
+            raise ValueError(
+                "sr_ratio > 1 changes the video K/V length per layer and is "
+                "only supported on the unfused (XLA) attention path")
+
+        # ---- sr_ratio conv down-sampling of the video K/V source ----
+        # (encoder.py:86-96): K/V come from the conv-strided sequence, the
+        # key mask from MaxPool1d(sr, sr); queries keep full resolution.
+        # The pooled window mixes padded positions into valid keys — a
+        # reference behavior, kept (PARITY M2).
+        vid_kv, vid_kv_mask = vid_feat, vid_mask
+        if self.sr_ratio > 1:
+            sr = self.sr_ratio
+            pad = (sr - 1) // 2
+            vid_kv = nn.Conv(
+                features=d, kernel_size=(sr,), strides=(sr,),
+                padding=[(pad, pad)], kernel_init=DENSE_INIT,
+                dtype=self.dtype, name="sr")(vid_feat)
+            n_sr = vid_mask.shape[1] // sr
+            if vid_kv.shape[1] != n_sr:
+                # torch's Conv1d and MaxPool1d disagree on the output length
+                # for this (L, sr) pair — the reference itself cannot run it
+                raise ValueError(
+                    f"sr_ratio={sr} over Lv={vid_mask.shape[1]}: conv gives "
+                    f"{vid_kv.shape[1]} keys but the mask pool gives {n_sr}")
+            vid_kv_mask = vid_mask[:, :n_sr * sr].reshape(
+                vid_mask.shape[0], n_sr, sr).any(axis=-1)
+
         ours_path = ("CrossAtt" not in self.ablation
                      and "SelfAtt" not in self.ablation)
         if self.fused and self.fuse_qkv and ours_path:
@@ -172,9 +207,9 @@ class FourStreamAttention(nn.Module):
         if wide:
             v2v_value = t2v_value = v2t_value = t2t_value = None
         else:
-            v2v_value = self._split_heads(v2v[2](vid_feat))
+            v2v_value = self._split_heads(v2v[2](vid_kv))
             t2v_value = self._split_heads(t2v[2](usr_feat))
-            v2t_value = self._split_heads(v2t[2](vid_feat))
+            v2t_value = self._split_heads(v2t[2](vid_kv))
             t2t_value = self._split_heads(t2t[2](usr_feat))
 
         if self.fused:
@@ -186,16 +221,18 @@ class FourStreamAttention(nn.Module):
 
         if "CrossAtt" in self.ablation:
             v_logits = attn_logits(usr_feat, usr_mask, vid_feat, vid_mask, t2v)
-            t_logits = attn_logits(vid_feat, vid_mask, usr_feat, usr_mask, v2t)
+            t_logits = attn_logits(vid_kv, vid_kv_mask, usr_feat, usr_mask,
+                                   v2t)
             v_value, t_value = t2v_value, v2t_value
         elif "SelfAtt" in self.ablation:
-            v_logits = attn_logits(vid_feat, vid_mask, vid_feat, vid_mask, v2v)
+            v_logits = attn_logits(vid_kv, vid_kv_mask, vid_feat, vid_mask,
+                                   v2v)
             t_logits = attn_logits(usr_feat, usr_mask, usr_feat, usr_mask, t2t)
             v_value, t_value = v2v_value, t2t_value
         else:
-            v2v_l = attn_logits(vid_feat, vid_mask, vid_feat, vid_mask, v2v)
+            v2v_l = attn_logits(vid_kv, vid_kv_mask, vid_feat, vid_mask, v2v)
             t2v_l = attn_logits(usr_feat, usr_mask, vid_feat, vid_mask, t2v)
-            v2t_l = attn_logits(vid_feat, vid_mask, usr_feat, usr_mask, v2t)
+            v2t_l = attn_logits(vid_kv, vid_kv_mask, usr_feat, usr_mask, v2t)
             t2t_l = attn_logits(usr_feat, usr_mask, usr_feat, usr_mask, t2t)
             v_logits = jnp.concatenate([v2v_l, t2v_l], axis=-1)
             t_logits = jnp.concatenate([v2t_l, t2t_l], axis=-1)
@@ -393,6 +430,7 @@ class SegFormerXLayer(nn.Module):
     interpret: bool = False
     fuse_projections: bool = False
     fuse_qkv: bool = False
+    sr_ratio: int = 1
     # 'attention' remat scope: recompute only the projections+attention block
     # on backward (its 12 projection outputs dominate live activations; the
     # FFN hiddens stay saved, so backward re-runs ~60% of a layer instead of
@@ -409,7 +447,7 @@ class SegFormerXLayer(nn.Module):
             dropout=self.dropout, ablation=self.ablation, dtype=self.dtype,
             fused=self.fused, interpret=self.interpret,
             fuse_projections=self.fuse_projections,
-            fuse_qkv=self.fuse_qkv,
+            fuse_qkv=self.fuse_qkv, sr_ratio=self.sr_ratio,
             name="cross_attn")
         if self.remat_attention:
             vid_feat, usr_feat = attn(vid_feat, vid_mask, usr_feat, usr_mask,
@@ -490,6 +528,14 @@ class SegFormerX(nn.Module):
     fuse_projections: bool = False
     # QKV projections inside the attention kernel (see FourStreamAttention)
     fuse_qkv: bool = False
+    # per-layer conv pyramid (encoder.py:23-31,279-300): sr_ratio_lvls[i] > 1
+    # conv-downsamples layer i's video K/V source; use_patch_merge[i] halves
+    # the video sequence before layer i (Conv1d k3 s2 p1, mask any-pooled,
+    # PE avg-pooled and re-added through pe_ln_{i}). Every published run
+    # disables both (main_…SegMM.py:94); supported here for capability
+    # parity, on the unfused attention path only.
+    sr_ratio_lvls: Optional[Sequence[int]] = None
+    use_patch_merge: Optional[Sequence[bool]] = None
 
     @nn.compact
     def __call__(self, usr_feat, usr_mask, vid_feat, vid_mask, *,
@@ -568,33 +614,123 @@ class SegFormerX(nn.Module):
             return [vid_x], usr_x
 
         # ---- encoder stack (encoder.py:302-324) ----
-        # intermediate_states[i] is the INPUT to layer i; output_layers indexes
-        # into that list, so only layers 0..max(output_layers)-1 are observable.
+        # intermediate_states[i] is the INPUT to layer i (post-patch-merge);
+        # output_layers indexes into that list, so only layers
+        # 0..max(output_layers)-1 are observable.
         output_layers = list(self.output_layers) if self.output_layers is not None \
             else list(range(self.num_layers))
         wanted = sorted({i % self.num_layers for i in output_layers})
         n_run = max(wanted) if wanted else 0
 
+        sr_lvls = (list(self.sr_ratio_lvls)
+                   if self.sr_ratio_lvls is not None
+                   else [1] * self.num_layers)
+        merge_lvls = (list(self.use_patch_merge)
+                      if self.use_patch_merge is not None
+                      else [False] * self.num_layers)
+        if not (len(sr_lvls) == len(merge_lvls) == self.num_layers):
+            raise ValueError(
+                "sr_ratio_lvls / use_patch_merge must have num_layers "
+                "entries (encoder.py:259)")
+        pyramid = any(r > 1 for r in sr_lvls) or any(merge_lvls)
+        if pyramid and self.fused_attention:
+            raise ValueError(
+                "the sr_ratio/patch-merge pyramid changes per-layer video "
+                "shapes; it is supported on the unfused (XLA) attention "
+                "path only — set fused_attention=False")
+
         whole_layer_remat = self.remat and self.remat_scope == "layer"
         layer_cls = (nn.remat(SegFormerXLayer, static_argnums=(5,))
                      if whole_layer_remat else SegFormerXLayer)
-        states = [vid_x]
+        states = []
+        vid_cur, vid_mask_cur = vid_x, vid_mask
+        vid_pe_cur = (vid_pe_table[None, :Lv].astype(self.dtype)
+                      if (self.use_pe and pyramid) else None)
         usr_cur = usr_x
-        for i in range(n_run):
-            vid_next, usr_next = layer_cls(
+        for i in range(n_run + 1):
+            if merge_lvls[i]:
+                # patch merge before layer i (encoder.py:296-318): conv
+                # halves the video length; the mask is any-pooled over pairs
+                # and the PE avg-pooled over pairs (the reference's
+                # _interpolate_to_same_size is a fixed k2-s2 avg_pool that
+                # ignores its size argument) and re-added through pe_ln_i.
+                L = vid_cur.shape[1]
+                if L % 2:
+                    raise ValueError(
+                        f"patch merge at layer {i} needs an even video "
+                        f"length, got {L} (the reference's conv/avg_pool "
+                        "pair disagrees on odd lengths)")
+                vid_cur = nn.Conv(
+                    features=d, kernel_size=(3,), strides=(2,),
+                    padding=[(1, 1)], kernel_init=DENSE_INIT,
+                    dtype=self.dtype, name=f"patch_merge_{i}")(vid_cur)
+                vid_mask_cur = vid_mask_cur.reshape(B, L // 2, 2).any(-1)
+                if vid_pe_cur is not None:
+                    vid_pe_cur = vid_pe_cur.reshape(1, L // 2, 2, d).mean(2)
+                    vid_cur = nn.LayerNorm(
+                        epsilon=LN_EPS, dtype=self.dtype,
+                        name=f"pe_ln_{i}")(vid_pe_cur + vid_cur)
+            states.append(vid_cur)
+            if i == n_run:
+                break
+            vid_cur, usr_next = layer_cls(
                 d_model=d, num_heads=self.num_heads, ff_dim=self.ff_dim,
                 dropout=self.dropout, ablation=self.ablation,
                 dtype=self.dtype, fused=self.fused_attention,
                 interpret=self.interpret,
                 fuse_projections=self.fuse_projections,
-                fuse_qkv=self.fuse_qkv,
+                fuse_qkv=self.fuse_qkv, sr_ratio=sr_lvls[i],
                 remat_attention=(self.remat
                                  and self.remat_scope == "attention"),
-                name=f"layer_{i}")(usr_cur, usr_mask, states[-1], vid_mask,
+                name=f"layer_{i}")(usr_cur, usr_mask, vid_cur, vid_mask_cur,
                                    deterministic)
-            states.append(vid_next)
             if usr_next is not None:
                 usr_cur = usr_next
 
         selected = [states[i % self.num_layers] for i in output_layers]
         return selected, usr_cur
+
+
+def _nearest_resize_seq(x: jax.Array, out_len: int) -> jax.Array:
+    """torch ``F.interpolate(mode='nearest')`` over the sequence axis of
+    (B, L, D): output position i reads input position floor(i * L / out)."""
+    import numpy as np
+    L = x.shape[1]
+    idx = (np.arange(out_len) * L) // out_len
+    return x[:, jnp.asarray(idx, jnp.int32), :]
+
+
+class SegFormerXFPN(nn.Module):
+    """Feature-pyramid head over the encoder's intermediate video states
+    (encoder.py:523-559).
+
+    The reference class is dead code with a version-skewed forward signature
+    (it calls ``backbone(vid_feat=..., txt_feat=..., txt_mask=...,
+    word_mask=...)``, keywords SegFormerX.forward does not accept, so it
+    cannot run). This is the working equivalent of its architecture: 1x1-conv
+    adapters to a common width, nearest-neighbor top-down upsample-add, and
+    3-wide output convs — applied to the (selected, usr) states our
+    SegFormerX returns. Reference quirk kept: the top-down pass adds each
+    level's ORIGINAL (pre-update) neighbor, not the accumulated one
+    (encoder.py:555-556 mutates fpn_states[idx] after fpn_states[idx-1]
+    already consumed it).
+    """
+    output_layer: Sequence[int] = (0, 2, 3)
+    fpn_hidden_size: int = 512
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, states: Sequence[jax.Array]):
+        sel = [states[i] for i in self.output_layer]
+        fpn = [nn.Dense(self.fpn_hidden_size, kernel_init=DENSE_INIT,
+                        dtype=self.dtype, name=f"adapter_{i}")(s)
+               for i, s in enumerate(sel)]
+        merged = [
+            fpn[i] + _nearest_resize_seq(fpn[i + 1], fpn[i].shape[1])
+            if i + 1 < len(fpn) else fpn[i]
+            for i in range(len(fpn))
+        ]
+        return [nn.Conv(features=self.fpn_hidden_size, kernel_size=(3,),
+                        padding=[(1, 1)], kernel_init=DENSE_INIT,
+                        dtype=self.dtype, name=f"out_conv_{i}")(m)
+                for i, m in enumerate(merged)]
