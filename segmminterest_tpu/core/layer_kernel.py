@@ -1,0 +1,680 @@
+"""Layer-fused Pallas kernel: one kernel invocation computes a WHOLE
+SegFormerX encoder-layer stream.
+
+Spec (composed order of operations, bit-matching the reference modules
+/root/reference/MMinterest/models/encoder.py:44-208 as rebuilt in
+models/segformerx.py):
+
+    att = two-block joint-softmax attention with in-kernel QKV projections
+          (q1 = xq@wq1 over block1 k1 = x1@wk1, q2 = xq@wq2 over block2
+           k2 = x2@wk2, ONE softmax across both; the concat-KV pattern)
+    h   = att @ w_ff + b_ff ; dropout                 (encoder.py:155-161)
+    y1  = LN1(xq + h)                                 (encoder.py:163-167)
+    u   = y1 @ w_m1 + b_m1 ; g = gelu_exact(u) ; dropout
+    m   = g @ w_m2 + b_m2 ; dropout                   (encoder.py:199-205)
+    y2  = LN2(y1 + m)
+
+Why: the round-3 microbenchmarks (tools/kernel_bench.py, BASELINE.md
+"revised roofline") showed the attention kernels are bound by per-invocation
+fixed cost, not bandwidth or MXU issue count — in-kernel matmuls ride ~free
+(attention-only == projection-fused cost). Folding the layer epilogue in
+(a) absorbs the per-layer XLA matmul-fusion chains (~19% of step in the
+round-3 trace) into the already-paid invocations, and (b) shrinks the
+custom-VJP residuals to just the layer INPUTS — the backward recomputes
+everything flash-style in VMEM — so no-remat fits where it previously
+OOMed (the FFN hiddens and attention outputs never reach HBM).
+
+Mosaic constraints honored (CLAUDE.md): exact GELU via the Abramowitz-
+Stegun erf polynomial (no `erf` lowering; 1.5e-7 abs err), head loops as
+fori_loop over 128-lane slabs, dynamic slices only on refs, masks built in
+int32 and compared in 3D. The backward re-seeds the in-kernel PRNG before
+the attention-backward head loop so the logits-dropout draws replay the
+forward's stream exactly (validated by tools/prng_reseed_probe.py on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .attention import (_attention_reference, _dropout_keep,
+                        _grid_semantics, _head_group_size, _joint_probs,
+                        _pick_block_b, _proj, _two_block_concat)
+
+LN_EPS = 1e-12  # models/segformerx.py LN_EPS (torch LayerNorm default)
+
+# ---------------------------------------------------------------------------
+# In-kernel exact GELU: Mosaic has no erf lowering, so erf comes from the
+# Abramowitz-Stegun 7.1.26 polynomial (max abs error 1.5e-7) — well under
+# fp32 test tolerances and sub-ulp in bf16.
+# ---------------------------------------------------------------------------
+
+_ERF_P = 0.3275911
+_ERF_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+_INV_SQRT2 = float(1.0 / np.sqrt(2.0))
+_INV_SQRT2PI = float(1.0 / np.sqrt(2.0 * np.pi))
+
+
+def _erf_poly(x):
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + _ERF_P * ax)
+    poly = t * (_ERF_A[0] + t * (_ERF_A[1] + t * (
+        _ERF_A[2] + t * (_ERF_A[3] + t * _ERF_A[4]))))
+    e = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.where(x < 0, -e, e)
+
+
+def _gelu_f32(x):
+    return 0.5 * x * (1.0 + _erf_poly(x * _INV_SQRT2))
+
+
+def _gelu_grad_f32(x):
+    cdf = 0.5 * (1.0 + _erf_poly(x * _INV_SQRT2))
+    pdf = jnp.exp(-0.5 * x * x) * _INV_SQRT2PI
+    return cdf + x * pdf
+
+
+def _ln_fwd(r, s_ref, b_ref):
+    """fp32 LayerNorm with flax's fast-variance formula; returns
+    (y_f32, xhat, inv_sigma) for the backward."""
+    mu = jnp.mean(r, axis=-1, keepdims=True)
+    var = jnp.mean(r * r, axis=-1, keepdims=True) - mu * mu
+    inv = jax.lax.rsqrt(var + LN_EPS)
+    xhat = (r - mu) * inv
+    y = xhat * s_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    return y, xhat, inv
+
+
+def _ln_bwd(dy, xhat, inv, s_ref):
+    """d(input) of y = xhat*s + b given upstream dy (all fp32)."""
+    dxhat = dy * s_ref[...].astype(jnp.float32)
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    return inv * (dxhat - m1 - xhat * m2)
+
+
+# ---------------------------------------------------------------------------
+# Shared epilogue (forward part) — used by the fwd kernel and re-run by the
+# bwd kernel to rebuild intermediates. PRNG draw order: the attention head
+# loop consumes 2 draws/head first, then h/g/m keeps (salts 2H, 2H+1, 2H+2
+# keep interpret mode's hash streams distinct).
+# ---------------------------------------------------------------------------
+
+def _epilogue_fwd(xq, att, wff_ref, bff_ref, ln1s_ref, ln1b_ref,
+                  wm1_ref, bm1_ref, wm2_ref, bm2_ref, ln2s_ref, ln2b_ref, *,
+                  dropout_rate, drop, interpret, seed_val, num_heads):
+    p = dropout_rate
+    h = _proj(att, wff_ref, bff_ref)
+    keep_h = keep_g = keep_m = None
+    if drop:
+        keep_h = _dropout_keep(h.shape, p, interpret=interpret,
+                               seed_val=seed_val, salt=2 * num_heads)
+        h = jnp.where(keep_h, h / (1.0 - p), jnp.zeros_like(h))
+    r1 = (xq + h).astype(jnp.float32)
+    y1f, xhat1, inv1 = _ln_fwd(r1, ln1s_ref, ln1b_ref)
+    y1 = y1f.astype(xq.dtype)
+    u = _proj(y1, wm1_ref, bm1_ref)
+    gact = _gelu_f32(u.astype(jnp.float32)).astype(xq.dtype)
+    if drop:
+        keep_g = _dropout_keep(gact.shape, p, interpret=interpret,
+                               seed_val=seed_val, salt=2 * num_heads + 1)
+        gact = jnp.where(keep_g, gact / (1.0 - p), jnp.zeros_like(gact))
+    m = _proj(gact, wm2_ref, bm2_ref)
+    if drop:
+        keep_m = _dropout_keep(m.shape, p, interpret=interpret,
+                               seed_val=seed_val, salt=2 * num_heads + 2)
+        m = jnp.where(keep_m, m / (1.0 - p), jnp.zeros_like(m))
+    r2 = (y1 + m).astype(jnp.float32)
+    y2f, xhat2, inv2 = _ln_fwd(r2, ln2s_ref, ln2b_ref)
+    return dict(y2=y2f, keep_h=keep_h, keep_g=keep_g, keep_m=keep_m,
+                xhat1=xhat1, inv1=inv1, y1=y1, u=u, gact=gact,
+                xhat2=xhat2, inv2=inv2)
+
+
+def _attn_group_fwd(sq1, sq2, sk1, sk2, sv1, sv2, satt, pair1, pair2, *,
+                    num_heads, qk_dim, v_dim, scale, dropout_rate,
+                    deterministic, interpret, seed_val):
+    """Head-group fori_loop of the two-block joint-softmax attention; writes
+    the per-head outputs into the `satt` scratch (same structure as
+    attention._fp_fwd_kernel)."""
+    hpg = _head_group_size(num_heads, qk_dim, v_dim)
+
+    def group_body(g, _):
+        dq = pl.dslice(g * hpg * qk_dim, hpg * qk_dim)
+        dv = pl.dslice(g * hpg * v_dim, hpg * v_dim)
+        q1g, q2g = sq1[:, :, dq], sq2[:, :, dq]
+        k1g, k2g = sk1[:, :, dq], sk2[:, :, dq]
+        v1g, v2g = sv1[:, :, dv], sv2[:, :, dv]
+        outs = []
+        for j in range(hpg):
+            sl = slice(j * qk_dim, (j + 1) * qk_dim)
+            sl_v = slice(j * v_dim, (j + 1) * v_dim)
+            dims = (((2,), (2,)), ((0,), (0,)))
+            l1 = jax.lax.dot_general(q1g[:, :, sl], k1g[:, :, sl], dims,
+                                     preferred_element_type=jnp.float32)
+            l2 = jax.lax.dot_general(q2g[:, :, sl], k2g[:, :, sl], dims,
+                                     preferred_element_type=jnp.float32)
+            p1, p2, _, _ = _joint_probs(
+                l1, l2, pair1, pair2, scale, dropout_rate, deterministic,
+                interpret, seed_val, g * hpg + j)
+            av = (((2,), (1,)), ((0,), (0,)))
+            v1_h = v1g[:, :, sl_v]
+            v2_h = v2g[:, :, sl_v]
+            outs.append((
+                jax.lax.dot_general(p1.astype(v1_h.dtype), v1_h, av,
+                                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(p2.astype(v2_h.dtype), v2_h, av,
+                                      preferred_element_type=jnp.float32)
+            ).astype(satt.dtype))
+        satt[:, :, dv] = jnp.concatenate(outs, axis=-1) if hpg > 1 \
+            else outs[0]
+        return 0
+
+    jax.lax.fori_loop(0, num_heads // hpg, group_body, 0)
+
+
+def _fl_fwd_kernel(seed_ref, xq_ref, x1_ref, x2_ref,
+                   wq1_ref, bq1_ref, wq2_ref, bq2_ref,
+                   wk1_ref, bk1_ref, wk2_ref, bk2_ref,
+                   wv1_ref, bv1_ref, wv2_ref, bv2_ref,
+                   wff_ref, bff_ref, ln1s_ref, ln1b_ref,
+                   wm1_ref, bm1_ref, wm2_ref, bm2_ref,
+                   ln2s_ref, ln2b_ref,
+                   mq_ref, mk1_ref, mk2_ref, o_ref,
+                   sq1, sq2, sk1, sk2, sv1, sv2, satt, *,
+                   num_heads, qk_dim, v_dim, scale, dropout_rate,
+                   deterministic, interpret):
+    b = pl.program_id(0)
+    drop = (not deterministic) and dropout_rate > 0
+    if drop and not interpret:
+        pltpu.prng_seed(seed_ref[0] + b)
+    seed_val = seed_ref[0] + b
+    xq = xq_ref[...]
+    sq1[...] = _proj(xq, wq1_ref, bq1_ref)
+    sq2[...] = _proj(xq, wq2_ref, bq2_ref)
+    sk1[...] = _proj(x1_ref[...], wk1_ref, bk1_ref)
+    sk2[...] = _proj(x2_ref[...], wk2_ref, bk2_ref)
+    sv1[...] = _proj(x1_ref[...], wv1_ref, bv1_ref)
+    sv2[...] = _proj(x2_ref[...], wv2_ref, bv2_ref)
+    pair1 = (mq_ref[...][:, :, None] * mk1_ref[...][:, None, :]) > 0
+    pair2 = (mq_ref[...][:, :, None] * mk2_ref[...][:, None, :]) > 0
+    _attn_group_fwd(sq1, sq2, sk1, sk2, sv1, sv2, satt, pair1, pair2,
+                    num_heads=num_heads, qk_dim=qk_dim, v_dim=v_dim,
+                    scale=scale, dropout_rate=dropout_rate,
+                    deterministic=deterministic, interpret=interpret,
+                    seed_val=seed_val)
+    e = _epilogue_fwd(xq, satt[...], wff_ref, bff_ref, ln1s_ref, ln1b_ref,
+                      wm1_ref, bm1_ref, wm2_ref, bm2_ref, ln2s_ref,
+                      ln2b_ref, dropout_rate=dropout_rate, drop=drop,
+                      interpret=interpret, seed_val=seed_val,
+                      num_heads=num_heads)
+    o_ref[...] = e["y2"].astype(o_ref.dtype)
+
+
+def _fl_bwd_kernel(seed_ref, xq_ref, x1_ref, x2_ref,
+                   wq1_ref, bq1_ref, wq2_ref, bq2_ref,
+                   wk1_ref, bk1_ref, wk2_ref, bk2_ref,
+                   wv1_ref, bv1_ref, wv2_ref, bv2_ref,
+                   wff_ref, bff_ref, ln1s_ref, ln1b_ref,
+                   wm1_ref, bm1_ref, wm2_ref, bm2_ref,
+                   ln2s_ref, ln2b_ref,
+                   mq_ref, mk1_ref, mk2_ref, g_ref,
+                   dxq_ref, dx1_ref, dx2_ref,
+                   dwq1_ref, dbq1_ref, dwq2_ref, dbq2_ref,
+                   dwk1_ref, dbk1_ref, dwk2_ref, dbk2_ref,
+                   dwv1_ref, dbv1_ref, dwv2_ref, dbv2_ref,
+                   dwff_ref, dbff_ref, dln1s_ref, dln1b_ref,
+                   dwm1_ref, dbm1_ref, dwm2_ref, dbm2_ref,
+                   dln2s_ref, dln2b_ref,
+                   sq1, sq2, sk1, sk2, sv1, sv2, satt, sdatt,
+                   sdq1, sdq2, sdk1, sdk2, sdv1, sdv2, *,
+                   num_heads, qk_dim, v_dim, scale, dropout_rate,
+                   deterministic, interpret):
+    b = pl.program_id(0)
+    drop = (not deterministic) and dropout_rate > 0
+    if drop and not interpret:
+        pltpu.prng_seed(seed_ref[0] + b)
+    seed_val = seed_ref[0] + b
+    p = dropout_rate
+    xq = xq_ref[...]
+    x1 = x1_ref[...]
+    x2 = x2_ref[...]
+    sq1[...] = _proj(xq, wq1_ref, bq1_ref)
+    sq2[...] = _proj(xq, wq2_ref, bq2_ref)
+    sk1[...] = _proj(x1, wk1_ref, bk1_ref)
+    sk2[...] = _proj(x2, wk2_ref, bk2_ref)
+    sv1[...] = _proj(x1, wv1_ref, bv1_ref)
+    sv2[...] = _proj(x2, wv2_ref, bv2_ref)
+    pair1 = (mq_ref[...][:, :, None] * mk1_ref[...][:, None, :]) > 0
+    pair2 = (mq_ref[...][:, :, None] * mk2_ref[...][:, None, :]) > 0
+
+    # ---- pass 1: recompute forward (same PRNG draw order as fwd) ----
+    _attn_group_fwd(sq1, sq2, sk1, sk2, sv1, sv2, satt, pair1, pair2,
+                    num_heads=num_heads, qk_dim=qk_dim, v_dim=v_dim,
+                    scale=scale, dropout_rate=dropout_rate,
+                    deterministic=deterministic, interpret=interpret,
+                    seed_val=seed_val)
+    att = satt[...]
+    e = _epilogue_fwd(xq, att, wff_ref, bff_ref, ln1s_ref, ln1b_ref,
+                      wm1_ref, bm1_ref, wm2_ref, bm2_ref, ln2s_ref,
+                      ln2b_ref, dropout_rate=dropout_rate, drop=drop,
+                      interpret=interpret, seed_val=seed_val,
+                      num_heads=num_heads)
+
+    # ---- zero the cross-grid weight-grad accumulators on the first step ----
+    @pl.when(b == 0)
+    def _init():
+        for ref in (dwq1_ref, dbq1_ref, dwq2_ref, dbq2_ref, dwk1_ref,
+                    dbk1_ref, dwk2_ref, dbk2_ref, dwv1_ref, dbv1_ref,
+                    dwv2_ref, dbv2_ref, dwff_ref, dbff_ref, dln1s_ref,
+                    dln1b_ref, dwm1_ref, dbm1_ref, dwm2_ref, dbm2_ref,
+                    dln2s_ref, dln2b_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    def wgrad(x, dy, w_ref, b_ref2):
+        xf = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+        dyf = dy.reshape(-1, dy.shape[-1])
+        w_ref[...] += jax.lax.dot_general(
+            xf, dyf, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(w_ref.dtype)
+        b_ref2[...] += dyf.sum(0).astype(b_ref2.dtype)
+
+    def t_chain(dy, w_ref):
+        # dy @ W^T via contracting W dim 1
+        return jax.lax.dot_general(
+            dy, w_ref[...].astype(jnp.float32), (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    # ---- epilogue backward ----
+    g2 = g_ref[...].astype(jnp.float32)
+    d_ = xq.shape[-1]
+    dln2s_ref[...] += (g2 * e["xhat2"]).reshape(-1, d_).sum(0)
+    dln2b_ref[...] += g2.reshape(-1, d_).sum(0)
+    dr2 = _ln_bwd(g2, e["xhat2"], e["inv2"], ln2s_ref)
+    dm = dr2
+    if drop:
+        dm = jnp.where(e["keep_m"], dm / (1.0 - p), 0.0)
+    wgrad(e["gact"], dm, dwm2_ref, dbm2_ref)
+    dgd = t_chain(dm, wm2_ref)
+    if drop:
+        dgd = jnp.where(e["keep_g"], dgd / (1.0 - p), 0.0)
+    du = dgd * _gelu_grad_f32(e["u"].astype(jnp.float32))
+    wgrad(e["y1"], du, dwm1_ref, dbm1_ref)
+    dy1 = dr2 + t_chain(du, wm1_ref)
+    dln1s_ref[...] += (dy1 * e["xhat1"]).reshape(-1, d_).sum(0)
+    dln1b_ref[...] += dy1.reshape(-1, d_).sum(0)
+    dr1 = _ln_bwd(dy1, e["xhat1"], e["inv1"], ln1s_ref)
+    dh = dr1
+    if drop:
+        dh = jnp.where(e["keep_h"], dh / (1.0 - p), 0.0)
+    wgrad(att, dh, dwff_ref, dbff_ref)
+    sdatt[...] = t_chain(dh, wff_ref)
+
+    # ---- attention backward: re-seed so the logits-dropout draws replay
+    # the forward stream exactly (interpret mode's hash PRNG is salted and
+    # order-free, so no re-seed is needed there) ----
+    if drop and not interpret:
+        pltpu.prng_seed(seed_ref[0] + b)
+    hpg = _head_group_size(num_heads, qk_dim, v_dim)
+
+    def group_body(g, _):
+        dqs = pl.dslice(g * hpg * qk_dim, hpg * qk_dim)
+        dvs = pl.dslice(g * hpg * v_dim, hpg * v_dim)
+        q1g, q2g = sq1[:, :, dqs], sq2[:, :, dqs]
+        k1g, k2g = sk1[:, :, dqs], sk2[:, :, dqs]
+        v1g, v2g = sv1[:, :, dvs], sv2[:, :, dvs]
+        gg = sdatt[:, :, dvs]
+        acc = {k: [] for k in ("dq1", "dq2", "dk1", "dk2", "dv1", "dv2")}
+        for j in range(hpg):
+            sl = slice(j * qk_dim, (j + 1) * qk_dim)
+            sl_v = slice(j * v_dim, (j + 1) * v_dim)
+            dims = (((2,), (2,)), ((0,), (0,)))
+            q1_h, q2_h = q1g[:, :, sl], q2g[:, :, sl]
+            k1_h, k2_h = k1g[:, :, sl], k2g[:, :, sl]
+            v1_h, v2_h = v1g[:, :, sl_v], v2g[:, :, sl_v]
+            g_h = gg[:, :, sl_v]
+            l1 = jax.lax.dot_general(q1_h, k1_h, dims,
+                                     preferred_element_type=jnp.float32)
+            l2 = jax.lax.dot_general(q2_h, k2_h, dims,
+                                     preferred_element_type=jnp.float32)
+            p1, p2, keep1, keep2 = _joint_probs(
+                l1, l2, pair1, pair2, scale, dropout_rate, deterministic,
+                interpret, seed_val, g * hpg + j)
+            pt = (((1,), (1,)), ((0,), (0,)))
+            acc["dv1"].append(jax.lax.dot_general(
+                p1, g_h, pt, preferred_element_type=jnp.float32))
+            acc["dv2"].append(jax.lax.dot_general(
+                p2, g_h, pt, preferred_element_type=jnp.float32))
+            dp1 = jax.lax.dot_general(g_h, v1_h.astype(jnp.float32), dims,
+                                      preferred_element_type=jnp.float32)
+            dp2 = jax.lax.dot_general(g_h, v2_h.astype(jnp.float32), dims,
+                                      preferred_element_type=jnp.float32)
+            ssum = (dp1 * p1).sum(-1, keepdims=True) \
+                + (dp2 * p2).sum(-1, keepdims=True)
+            dl1 = p1 * (dp1 - ssum) * scale
+            dl2 = p2 * (dp2 - ssum) * scale
+            if drop:
+                dl1 = jnp.where(keep1, dl1 / (1.0 - p), 0.0)
+                dl2 = jnp.where(keep2, dl2 / (1.0 - p), 0.0)
+            dl1 = jnp.where(pair1, dl1, 0.0)
+            dl2 = jnp.where(pair2, dl2, 0.0)
+            qk = (((2,), (1,)), ((0,), (0,)))
+            acc["dq1"].append(jax.lax.dot_general(
+                dl1, k1_h.astype(jnp.float32), qk,
+                preferred_element_type=jnp.float32))
+            acc["dq2"].append(jax.lax.dot_general(
+                dl2, k2_h.astype(jnp.float32), qk,
+                preferred_element_type=jnp.float32))
+            acc["dk1"].append(jax.lax.dot_general(
+                dl1, q1_h.astype(jnp.float32), pt,
+                preferred_element_type=jnp.float32))
+            acc["dk2"].append(jax.lax.dot_general(
+                dl2, q2_h.astype(jnp.float32), pt,
+                preferred_element_type=jnp.float32))
+        cat = lambda xs: jnp.concatenate(xs, axis=-1) if hpg > 1 else xs[0]
+        sdq1[:, :, dqs] = cat(acc["dq1"])
+        sdq2[:, :, dqs] = cat(acc["dq2"])
+        sdk1[:, :, dqs] = cat(acc["dk1"])
+        sdk2[:, :, dqs] = cat(acc["dk2"])
+        sdv1[:, :, dvs] = cat(acc["dv1"])
+        sdv2[:, :, dvs] = cat(acc["dv2"])
+        return 0
+
+    jax.lax.fori_loop(0, num_heads // hpg, group_body, 0)
+    dq1 = sdq1[...]
+    dq2 = sdq2[...]
+    dk1 = sdk1[...]
+    dk2 = sdk2[...]
+    dv1 = sdv1[...]
+    dv2 = sdv2[...]
+
+    # dx chains (+ the LN1 residual into xq) and QKV weight grads
+    dxq_ref[...] = (t_chain(dq1, wq1_ref) + t_chain(dq2, wq2_ref)
+                    + dr1).astype(dxq_ref.dtype)
+    dx1_ref[...] = (t_chain(dk1, wk1_ref)
+                    + t_chain(dv1, wv1_ref)).astype(dx1_ref.dtype)
+    dx2_ref[...] = (t_chain(dk2, wk2_ref)
+                    + t_chain(dv2, wv2_ref)).astype(dx2_ref.dtype)
+    wgrad(xq, dq1, dwq1_ref, dbq1_ref)
+    wgrad(xq, dq2, dwq2_ref, dbq2_ref)
+    wgrad(x1, dk1, dwk1_ref, dbk1_ref)
+    wgrad(x2, dk2, dwk2_ref, dbk2_ref)
+    wgrad(x1, dv1, dwv1_ref, dbv1_ref)
+    wgrad(x2, dv2, dwv2_ref, dbv2_ref)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call builders
+# ---------------------------------------------------------------------------
+
+def _ep_specs(d, ff):
+    """BlockSpecs for the 10 epilogue params (w_ff, b_ff, ln1_s, ln1_b,
+    w_m1, b_m1, w_m2, b_m2, ln2_s, ln2_b)."""
+    w = lambda a, b_: pl.BlockSpec((a, b_), lambda i, *_: (0, 0))
+    return [w(d, d), w(1, d), w(1, d), w(1, d),
+            w(d, ff), w(1, ff), w(ff, d), w(1, d),
+            w(1, d), w(1, d)]
+
+
+def _flat_ep(ep):
+    """Epilogue params -> kernel operand list; LN params stay fp32, 1D
+    biases/scales become (1, n) rows."""
+    wff, bff, ln1s, ln1b, wm1, bm1, wm2, bm2, ln2s, ln2b = ep
+    row = lambda x: x.reshape(1, -1)
+    return [wff, row(bff), row(ln1s), row(ln1b), wm1, row(bm1), wm2,
+            row(bm2), row(ln2s), row(ln2b)]
+
+
+def _fl_call_fwd(xq, x1, x2, qkv, ep, mask_q, mask_1, mask_2,
+                 dropout_rate, seed, deterministic, interpret, scale,
+                 num_heads):
+    B, Lq, d = xq.shape
+    L1, L2 = x1.shape[1], x2.shape[1]
+    ff = ep[4].shape[1]
+    H = num_heads
+    Dh = d // H
+    bt = _pick_block_b(B)
+    b3 = lambda L, W: pl.BlockSpec((bt, L, W), lambda i, *_: (i, 0, 0))
+    b2 = lambda L: pl.BlockSpec((bt, L), lambda i, *_: (i, 0))
+    w_spec = pl.BlockSpec((d, d), lambda i, *_: (0, 0))
+    bias_spec = pl.BlockSpec((1, d), lambda i, *_: (0, 0))
+    kernel = functools.partial(_fl_fwd_kernel, num_heads=H, qk_dim=Dh,
+                               v_dim=Dh, scale=scale,
+                               dropout_rate=dropout_rate,
+                               deterministic=deterministic,
+                               interpret=interpret)
+    in_specs = [b3(Lq, d), b3(L1, d), b3(L2, d)]
+    for _ in range(6):
+        in_specs += [w_spec, bias_spec]
+    in_specs += _ep_specs(d, ff)
+    in_specs += [b2(Lq), b2(L1), b2(L2)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(B // bt,),
+        in_specs=in_specs, out_specs=b3(Lq, d),
+        scratch_shapes=[pltpu.VMEM((bt, Lq, d), xq.dtype),
+                        pltpu.VMEM((bt, Lq, d), xq.dtype),
+                        pltpu.VMEM((bt, L1, d), xq.dtype),
+                        pltpu.VMEM((bt, L2, d), xq.dtype),
+                        pltpu.VMEM((bt, L1, d), xq.dtype),
+                        pltpu.VMEM((bt, L2, d), xq.dtype),
+                        pltpu.VMEM((bt, Lq, d), xq.dtype)])
+    flat_ws = []
+    for w, bias in qkv:
+        flat_ws += [w, bias.reshape(1, d)]
+    out = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Lq, d), xq.dtype),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=_grid_semantics()),
+        interpret=interpret,
+    )(seed, xq, x1, x2, *flat_ws, *_flat_ep(ep),
+      mask_q.astype(jnp.int32), mask_1.astype(jnp.int32),
+      mask_2.astype(jnp.int32))
+    return out
+
+
+def _fl_call_bwd(xq, x1, x2, qkv, ep, mask_q, mask_1, mask_2, g,
+                 dropout_rate, seed, deterministic, interpret, scale,
+                 num_heads):
+    B, Lq, d = xq.shape
+    L1, L2 = x1.shape[1], x2.shape[1]
+    ff = ep[4].shape[1]
+    H = num_heads
+    Dh = d // H
+    bt = _pick_block_b(B)
+    b3 = lambda L, W: pl.BlockSpec((bt, L, W), lambda i, *_: (i, 0, 0))
+    b2 = lambda L: pl.BlockSpec((bt, L), lambda i, *_: (i, 0))
+    w_spec = pl.BlockSpec((d, d), lambda i, *_: (0, 0))
+    bias_spec = pl.BlockSpec((1, d), lambda i, *_: (0, 0))
+    kernel = functools.partial(_fl_bwd_kernel, num_heads=H, qk_dim=Dh,
+                               v_dim=Dh, scale=scale,
+                               dropout_rate=dropout_rate,
+                               deterministic=deterministic,
+                               interpret=interpret)
+    in_specs = [b3(Lq, d), b3(L1, d), b3(L2, d)]
+    for _ in range(6):
+        in_specs += [w_spec, bias_spec]
+    in_specs += _ep_specs(d, ff)
+    in_specs += [b2(Lq), b2(L1), b2(L2), b3(Lq, d)]
+    out_specs = [b3(Lq, d), b3(L1, d), b3(L2, d)]
+    out_shapes = [jax.ShapeDtypeStruct((B, Lq, d), xq.dtype),
+                  jax.ShapeDtypeStruct((B, L1, d), x1.dtype),
+                  jax.ShapeDtypeStruct((B, L2, d), x2.dtype)]
+    for _ in range(6):
+        out_specs += [w_spec, bias_spec]
+        out_shapes += [jax.ShapeDtypeStruct((d, d), jnp.float32),
+                       jax.ShapeDtypeStruct((1, d), jnp.float32)]
+    ep_specs = _ep_specs(d, ff)
+    ep_shapes = [(d, d), (1, d), (1, d), (1, d), (d, ff), (1, ff),
+                 (ff, d), (1, d), (1, d), (1, d)]
+    out_specs += ep_specs
+    out_shapes += [jax.ShapeDtypeStruct(s, jnp.float32) for s in ep_shapes]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(B // bt,),
+        in_specs=in_specs, out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((bt, Lq, d), xq.dtype),
+                        pltpu.VMEM((bt, Lq, d), xq.dtype),
+                        pltpu.VMEM((bt, L1, d), xq.dtype),
+                        pltpu.VMEM((bt, L2, d), xq.dtype),
+                        pltpu.VMEM((bt, L1, d), xq.dtype),
+                        pltpu.VMEM((bt, L2, d), xq.dtype),
+                        pltpu.VMEM((bt, Lq, d), xq.dtype),
+                        pltpu.VMEM((bt, Lq, d), jnp.float32),
+                        pltpu.VMEM((bt, Lq, d), jnp.float32),
+                        pltpu.VMEM((bt, Lq, d), jnp.float32),
+                        pltpu.VMEM((bt, L1, d), jnp.float32),
+                        pltpu.VMEM((bt, L2, d), jnp.float32),
+                        pltpu.VMEM((bt, L1, d), jnp.float32),
+                        pltpu.VMEM((bt, L2, d), jnp.float32)])
+    flat_ws = []
+    for w, bias in qkv:
+        flat_ws += [w, bias.reshape(1, d)]
+    outs = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=out_shapes,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(seed, xq, x1, x2, *flat_ws, *_flat_ep(ep),
+      mask_q.astype(jnp.int32), mask_1.astype(jnp.int32),
+      mask_2.astype(jnp.int32), g)
+    dxq, dx1, dx2 = outs[0], outs[1], outs[2]
+    dqkv = tuple((outs[3 + 2 * i], outs[4 + 2 * i].reshape(d))
+                 for i in range(6))
+    eo = outs[15:]
+    dep = (eo[0], eo[1].reshape(d), eo[2].reshape(d), eo[3].reshape(d),
+           eo[4], eo[5].reshape(ff), eo[6], eo[7].reshape(d),
+           eo[8].reshape(d), eo[9].reshape(d))
+    return dxq, dx1, dx2, dqkv, dep
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def _fused_layer(xq, x1, x2, qkv, ep, mask_q, mask_1, mask_2,
+                 dropout_rate, deterministic, interpret, scale, num_heads,
+                 seed):
+    return _fl_call_fwd(xq, x1, x2, qkv, ep, mask_q, mask_1, mask_2,
+                        dropout_rate, seed, deterministic, interpret, scale,
+                        num_heads)
+
+
+def _fl_fwd_rule(xq, x1, x2, qkv, ep, mask_q, mask_1, mask_2,
+                 dropout_rate, deterministic, interpret, scale, num_heads,
+                 seed):
+    out = _fused_layer(xq, x1, x2, qkv, ep, mask_q, mask_1, mask_2,
+                       dropout_rate, deterministic, interpret, scale,
+                       num_heads, seed)
+    return out, (xq, x1, x2, qkv, ep, mask_q, mask_1, mask_2, seed)
+
+
+def _fl_bwd_rule(dropout_rate, deterministic, interpret, scale, num_heads,
+                 res, g):
+    xq, x1, x2, qkv, ep, mask_q, mask_1, mask_2, seed = res
+    dxq, dx1, dx2, dqkv, dep = _fl_call_bwd(
+        xq, x1, x2, qkv, ep, mask_q, mask_1, mask_2, g, dropout_rate, seed,
+        deterministic, interpret, scale, num_heads)
+    dqkv = tuple((dw.astype(w.dtype), db.astype(b.dtype))
+                 for (dw, db), (w, b) in zip(dqkv, qkv))
+    dep = tuple(dg.astype(p.dtype) for dg, p in zip(dep, ep))
+    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return (dxq, dx1, dx2, dqkv, dep, f0(mask_q), f0(mask_1), f0(mask_2),
+            f0(seed))
+
+
+_fused_layer.defvjp(_fl_fwd_rule, _fl_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# Composed jnp path: the exact same math materialized through XLA — the CPU
+# fallback, the degenerate-shape (Lq == 1) route, and the test oracle.
+# ---------------------------------------------------------------------------
+
+def composed_layer_stream(xq, x1, x2, qkv, ep, mask_q, mask_1, mask_2, *,
+                          num_heads, dropout_rate=0.0, seed=None,
+                          deterministic=True, scale=None):
+    (wq1, bq1), (wq2, bq2), (wk1, bk1), (wk2, bk2), (wv1, bv1), \
+        (wv2, bv2) = qkv
+    wff, bff, ln1s, ln1b, wm1, bm1, wm2, bm2, ln2s, ln2b = ep
+    B, Lq, d = xq.shape
+    H = num_heads
+    Dh = d // H
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    seed = seed.reshape(1).astype(jnp.int32)
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(Dh))
+    pr = lambda x, w, b: (x @ w + b).reshape(x.shape[0], x.shape[1], H, Dh)
+    q, k, v = _two_block_concat(pr(xq, wq1, bq1), pr(xq, wq2, bq2),
+                                pr(x1, wk1, bk1), pr(x2, wk2, bk2),
+                                pr(x1, wv1, bv1), pr(x2, wv2, bv2))
+    mask_k = jnp.concatenate([mask_1, mask_2], axis=1)
+    att = _attention_reference(q, k, v, mask_q, mask_k, dropout_rate, seed,
+                               deterministic, scale).reshape(B, Lq, d)
+
+    drop = (not deterministic) and dropout_rate > 0
+    if drop:
+        base = jax.random.wrap_key_data(
+            jnp.broadcast_to(seed.astype(jnp.uint32), (2,)),
+            impl="threefry2x32")
+        keys = jax.random.split(jax.random.fold_in(base, 1), 3)
+
+    def dropout(x, i):
+        if not drop:
+            return x
+        keep = jax.random.bernoulli(keys[i], 1.0 - dropout_rate, x.shape)
+        return jnp.where(keep, x / (1.0 - dropout_rate), 0.0).astype(x.dtype)
+
+    def ln(r, s, b):
+        r32 = r.astype(jnp.float32)
+        mu = r32.mean(-1, keepdims=True)
+        var = (r32 * r32).mean(-1, keepdims=True) - mu * mu
+        y = (r32 - mu) * jax.lax.rsqrt(var + LN_EPS)
+        return (y * s.astype(jnp.float32)
+                + b.astype(jnp.float32)).astype(r.dtype)
+
+    h = dropout(att @ wff + bff, 0)
+    y1 = ln(xq + h, ln1s, ln1b)
+    gact = dropout(jax.nn.gelu(y1 @ wm1 + bm1, approximate=False), 1)
+    m = dropout(gact @ wm2 + bm2, 2)
+    return ln(y1 + m, ln2s, ln2b)
+
+
+def fused_layer_stream(xq, x1, x2, qkv, ep, mask_q, mask_1, mask_2, *,
+                       num_heads: int, dropout_rate: float = 0.0,
+                       seed: Optional[jax.Array] = None,
+                       deterministic: bool = True, interpret: bool = False,
+                       scale: Optional[float] = None):
+    """One SegFormerX encoder-layer stream in a single Pallas kernel (see
+    module docstring). ``qkv`` is 6 (w, b) pairs in block order (q1, q2,
+    k1, k2, v1, v2); ``ep`` is (w_ff, b_ff, ln1_s, ln1_b, w_m1, b_m1,
+    w_m2, b_m2, ln2_s, ln2_b). Returns (B, Lq, d).
+
+    Falls back to the composed XLA path off-TPU and for degenerate
+    single-query streams (the ID backbone's usr stream), where the Pallas
+    grid's fixed per-step cost exceeds the whole materialized computation.
+    """
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    seed = seed.reshape(1).astype(jnp.int32)
+    d = xq.shape[-1]
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(d // num_heads))
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if (not interpret and not on_tpu) or (xq.shape[1] == 1
+                                          and not interpret):
+        return composed_layer_stream(
+            xq, x1, x2, qkv, ep, mask_q, mask_1, mask_2,
+            num_heads=num_heads, dropout_rate=dropout_rate, seed=seed,
+            deterministic=deterministic, scale=scale)
+    return _fused_layer(xq, x1, x2, tuple(tuple(p) for p in qkv),
+                        tuple(ep), mask_q.astype(jnp.int32),
+                        mask_1.astype(jnp.int32), mask_2.astype(jnp.int32),
+                        float(dropout_rate), bool(deterministic),
+                        bool(interpret), float(scale), int(num_heads), seed)

@@ -80,7 +80,7 @@ class InterestEngine:
             remat_scope=config.remat_scope,
             fused_attention=config.fused_attention,
             fuse_projections=config.fuse_projections,
-            fuse_qkv=config.fuse_qkv)
+            fuse_qkv=config.fuse_qkv, fuse_layer=config.fuse_layer)
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(config.grad_clip_norm),
             optax.adamw(config.learning_rate,

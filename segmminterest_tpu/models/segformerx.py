@@ -107,6 +107,48 @@ class _ProjParams(nn.Module):
         return k, b
 
 
+class _LNParams(nn.Module):
+    """Declares scale/bias with nn.LayerNorm-compatible param paths (for the
+    layer-fused kernel path; checkpoints stay interchangeable)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.dim,)),
+                self.param("bias", nn.initializers.zeros, (self.dim,)))
+
+
+class _FLMLPParams(nn.Module):
+    """KnMLP([d, ff, d]) parameter mirror (layer_0/layer_1 Dense paths)."""
+    d: int
+    ff: int
+
+    @nn.compact
+    def __call__(self):
+        return (_ProjParams(self.d, self.ff, name="layer_0")()
+                + _ProjParams(self.ff, self.d, name="layer_1")())
+
+
+class _FLAttnParams(nn.Module):
+    """FourStreamAttention parameter mirror for the layer-fused kernel path:
+    the 12 QKV projections, the two out-projections and the two
+    attention-level LayerNorms, with paths identical to the composed
+    modules."""
+    d: int
+
+    @nn.compact
+    def __call__(self):
+        out = {}
+        for s in ("t2v", "v2v", "t2t", "v2t"):
+            out[s] = [_ProjParams(self.d, self.d, name=f"{s}_proj_{i}")()
+                      for i in range(3)]
+        out["ff_usr"] = _ProjParams(self.d, self.d, name="ff_usr")()
+        out["ff_vid"] = _ProjParams(self.d, self.d, name="ff_vid")()
+        out["ln_vid"] = _LNParams(self.d, name="ln_vid")()
+        out["ln_usr"] = _LNParams(self.d, name="ln_usr")()
+        return out
+
+
 class FourStreamAttention(nn.Module):
     """v2v / t2v / v2t / t2t attention with per-stream QKV projections and
     concatenated KV for the user<->video cross streams (encoder.py:12-175).
@@ -436,10 +478,22 @@ class SegFormerXLayer(nn.Module):
     # FFN hiddens stay saved, so backward re-runs ~60% of a layer instead of
     # 100% as whole-layer remat does)
     remat_attention: bool = False
+    # run the ENTIRE layer stream (attention + out-proj + LN residual +
+    # GELU MLP + LN residual) in one Pallas kernel per stream
+    # (core/layer_kernel.py): the per-layer XLA matmul chains fold into the
+    # latency-bound kernel invocation and only the layer INPUTS are saved
+    # for backward (flash-style in-kernel recompute) — remat becomes
+    # unnecessary. Parameter tree identical to the composed path.
+    fuse_layer: bool = False
 
     @nn.compact
     def __call__(self, usr_feat, usr_mask, vid_feat, vid_mask,
                  deterministic: bool):
+        ours_path = ("CrossAtt" not in self.ablation
+                     and "SelfAtt" not in self.ablation)
+        if self.fuse_layer and ours_path and self.sr_ratio == 1:
+            return self._fused_layer_forward(usr_feat, usr_mask, vid_feat,
+                                             vid_mask, deterministic)
         attn_cls = (nn.remat(FourStreamAttention, static_argnums=(5,))
                     if self.remat_attention else FourStreamAttention)
         attn = attn_cls(
@@ -470,6 +524,64 @@ class SegFormerXLayer(nn.Module):
                            deterministic=deterministic)
             usr_feat = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln_usr")(usr_feat + usr_new)
         return vid_feat, usr_feat
+
+    def _fused_layer_forward(self, usr_feat, usr_mask, vid_feat, vid_mask,
+                             deterministic):
+        """'ours' path with the whole layer in one Pallas kernel per stream
+        (core/layer_kernel.py:fused_layer_stream). Same stream wiring as
+        FourStreamAttention._fused_qkv_forward: vid stream block1 = v2v,
+        block2 = t2v; usr stream block1 = v2t, block2 = t2t."""
+        import math
+
+        from ..core.layer_kernel import fused_layer_stream
+        d = self.d_model
+        scale = 1.0 / math.sqrt(d // self.num_heads)
+        rate = self.dropout if not deterministic else 0.0
+        if rate > 0:
+            key = self.make_rng("dropout")
+            seed = jax.random.randint(key, (2,), 0, 2 ** 31 - 1, jnp.int32)
+        else:
+            seed = jnp.zeros((2,), jnp.int32)
+
+        ap = _FLAttnParams(d, name="cross_attn")()
+        mlp_vid = _FLMLPParams(d, self.ff_dim, name="ff_vid")()
+        mlp_usr = _FLMLPParams(d, self.ff_dim, name="ff_usr")()
+        ln2_vid = _LNParams(d, name="ln_vid")()
+        ln2_usr = _LNParams(d, name="ln_usr")()
+
+        dt = self.dtype
+        cast = lambda p: (p[0].astype(dt), p[1].astype(dt))  # noqa: E731
+
+        def ep(ff_p, ln1, mlp, ln2):
+            w0, b0, w1, b1 = mlp
+            wf, bf = cast(ff_p)
+            # LN scale/bias stay fp32 — the kernel normalizes in fp32
+            return (wf, bf, ln1[0], ln1[1], w0.astype(dt), b0.astype(dt),
+                    w1.astype(dt), b1.astype(dt), ln2[0], ln2[1])
+
+        def qkv(*ps):
+            return tuple(cast(p) for p in ps)
+
+        def call(xq, x1, x2, blocks, epilogue, mq, m1, m2, slot):
+            return fused_layer_stream(
+                xq, x1, x2, blocks, epilogue, mq, m1, m2,
+                num_heads=self.num_heads, dropout_rate=rate,
+                seed=seed[slot], deterministic=deterministic,
+                interpret=self.interpret, scale=scale)
+
+        vid_out = call(
+            vid_feat, vid_feat, usr_feat,
+            qkv(ap["v2v"][0], ap["t2v"][0], ap["v2v"][1], ap["t2v"][1],
+                ap["v2v"][2], ap["t2v"][2]),
+            ep(ap["ff_vid"], ap["ln_vid"], mlp_vid, ln2_vid),
+            vid_mask, vid_mask, usr_mask, 0)
+        usr_out = call(
+            usr_feat, vid_feat, usr_feat,
+            qkv(ap["v2t"][0], ap["t2t"][0], ap["v2t"][1], ap["t2t"][1],
+                ap["v2t"][2], ap["t2t"][2]),
+            ep(ap["ff_usr"], ap["ln_usr"], mlp_usr, ln2_usr),
+            usr_mask, vid_mask, usr_mask, 1)
+        return vid_out, usr_out
 
 
 def _adaptive_avg_pool_seq(x: jax.Array, out_len: int) -> jax.Array:
@@ -528,6 +640,10 @@ class SegFormerX(nn.Module):
     fuse_projections: bool = False
     # QKV projections inside the attention kernel (see FourStreamAttention)
     fuse_qkv: bool = False
+    # whole layer (attention + FFN epilogue) in one Pallas kernel per stream
+    # with flash-style backward recompute (see SegFormerXLayer.fuse_layer);
+    # supersedes fused_attention/fuse_qkv on the 'ours' path
+    fuse_layer: bool = False
     # per-layer conv pyramid (encoder.py:23-31,279-300): sr_ratio_lvls[i] > 1
     # conv-downsamples layer i's video K/V source; use_patch_merge[i] halves
     # the video sequence before layer i (Conv1d k3 s2 p1, mask any-pooled,
@@ -633,11 +749,11 @@ class SegFormerX(nn.Module):
                 "sr_ratio_lvls / use_patch_merge must have num_layers "
                 "entries (encoder.py:259)")
         pyramid = any(r > 1 for r in sr_lvls) or any(merge_lvls)
-        if pyramid and self.fused_attention:
+        if pyramid and (self.fused_attention or self.fuse_layer):
             raise ValueError(
                 "the sr_ratio/patch-merge pyramid changes per-layer video "
                 "shapes; it is supported on the unfused (XLA) attention "
-                "path only — set fused_attention=False")
+                "path only — set fused_attention=False / fuse_layer=False")
 
         whole_layer_remat = self.remat and self.remat_scope == "layer"
         layer_cls = (nn.remat(SegFormerXLayer, static_argnums=(5,))
@@ -679,7 +795,8 @@ class SegFormerX(nn.Module):
                 dtype=self.dtype, fused=self.fused_attention,
                 interpret=self.interpret,
                 fuse_projections=self.fuse_projections,
-                fuse_qkv=self.fuse_qkv, sr_ratio=sr_lvls[i],
+                fuse_qkv=self.fuse_qkv, fuse_layer=self.fuse_layer,
+                sr_ratio=sr_lvls[i],
                 remat_attention=(self.remat
                                  and self.remat_scope == "attention"),
                 name=f"layer_{i}")(usr_cur, usr_mask, vid_cur, vid_mask_cur,

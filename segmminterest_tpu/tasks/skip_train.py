@@ -104,6 +104,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fuse_projections", type=int,
                    default=int(d.fuse_projections),
                    help="horizontally fuse the 12 per-stream QKV projections")
+    p.add_argument("--fuse_layer", type=int, default=int(d.fuse_layer),
+                   help="whole encoder-layer streams in one Pallas kernel "
+                        "each (attention + FFN epilogue, flash-style "
+                        "backward recompute; remat becomes unnecessary)")
     p.add_argument("--distributed", type=int, default=0,
                    help="multi-host: jax.distributed.initialize from "
                         "RANK/WORLD_SIZE/COORDINATOR_ADDRESS env and train "
@@ -146,7 +150,8 @@ def config_from_args(args: argparse.Namespace) -> InterestConfig:
         compute_dtype=args.compute_dtype, remat=bool(args.remat),
         remat_scope=args.remat_scope,
         fused_attention=bool(args.fused_attention),
-        fuse_projections=bool(args.fuse_projections))
+        fuse_projections=bool(args.fuse_projections),
+        fuse_layer=bool(args.fuse_layer))
     cfg.loss_weight["surviveCE"] = args.loss_weight_surviveCE
     cfg.loss_weight["interestBPR"] = args.loss_weight_interestBPR
     cfg.loss_weight["interestCE"] = args.loss_weight_interestCE

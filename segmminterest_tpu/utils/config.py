@@ -95,6 +95,13 @@ class InterestConfig:
     # run the QKV projections inside the attention kernel (q/k/v and their
     # grads never touch HBM); parameter tree unchanged
     fuse_qkv: bool = False
+    # run each WHOLE encoder-layer stream (attention + out-proj + LN
+    # residual + GELU MLP + LN residual) in one Pallas kernel with
+    # flash-style backward recompute (core/layer_kernel.py): the per-layer
+    # XLA matmul chains fold into the latency-bound kernel invocation and
+    # only layer inputs are saved for backward, so remat is unnecessary.
+    # Supersedes fused_attention/fuse_qkv on the 'ours' path.
+    fuse_layer: bool = False
     # dropout PRNG implementation: 'rbg' is much faster than 'threefry2x32'
     # on TPU for the large attention-logit dropout masks
     rng_impl: str = "rbg"

@@ -33,10 +33,14 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--name", required=True)
     p.add_argument("--which", default="proj",
-                   choices=["proj", "twoblock", "xla"],
+                   choices=["proj", "twoblock", "xla", "layer",
+                            "layer_xla"],
                    help="proj: projection-fused Pallas kernel; twoblock: "
                         "attention-only Pallas kernel; xla: materialized "
-                        "jnp reference path (projections via XLA matmuls)")
+                        "jnp reference path (projections via XLA matmuls); "
+                        "layer: whole-layer-stream Pallas kernel "
+                        "(attention + FFN epilogue); layer_xla: the same "
+                        "stream composed through XLA")
     p.add_argument("--stream", default="video", choices=["video", "user"],
                    help="video: Lq=40 blocks (40,100); user: Lq=100 (100,40)")
     p.add_argument("--lq", type=int, default=0,
@@ -77,7 +81,43 @@ def main():
     mask_1 = jnp.asarray(rng.random((B, L1)) < 0.9)
     mask_2 = jnp.asarray(rng.random((B, L2)) < 0.9)
 
-    if args.which in ("proj", "xla"):
+    if args.which in ("layer", "layer_xla"):
+        from segmminterest_tpu.core import layer_kernel as LK
+
+        ff = d  # flagship ff_dim == d_model (engine/train.py:73)
+        xq, x1, x2 = mk(B, Lq, d), mk(B, L1, d), mk(B, L2, d)
+        qkv = tuple((mk(d, d), mk(d)) for _ in range(6))
+        ep = (mk(d, d), mk(d),
+              jnp.ones((d,), jnp.float32), jnp.zeros((d,), jnp.float32),
+              mk(d, ff), mk(ff), mk(ff, d), mk(d),
+              jnp.ones((d,), jnp.float32), jnp.zeros((d,), jnp.float32))
+
+        if args.which == "layer":
+            def fwd(xq, x1, x2, qkv, ep):
+                return LK.fused_layer_stream(
+                    xq, x1, x2, qkv, ep, mask_q, mask_1, mask_2,
+                    num_heads=H, dropout_rate=args.dropout, seed=seed,
+                    deterministic=bool(args.det))
+        else:
+            def fwd(xq, x1, x2, qkv, ep):
+                return LK.composed_layer_stream(
+                    xq, x1, x2, qkv, ep, mask_q, mask_1, mask_2,
+                    num_heads=H, dropout_rate=args.dropout, seed=seed,
+                    deterministic=bool(args.det))
+
+        if args.bwd:
+            def run(xq, x1, x2, qkv, ep):
+                def f(xq, x1, x2, qkv, ep):
+                    return fwd(xq, x1, x2, qkv, ep).astype(
+                        jnp.float32).sum()
+                g = jax.grad(f, argnums=(0, 1, 2, 3, 4))(
+                    xq, x1, x2, qkv, ep)
+                return g[0]
+        else:
+            run = fwd
+        fn = jax.jit(run)
+        cargs = (xq, x1, x2, qkv, ep)
+    elif args.which in ("proj", "xla"):
         xq, x1, x2 = mk(B, Lq, d), mk(B, L1, d), mk(B, L2, d)
         ws = [mk(d, d) for _ in range(6)]
         bs = [mk(d) for _ in range(6)]

@@ -40,6 +40,7 @@ def main():
     p.add_argument("--fused_attention", type=int, default=1)
     p.add_argument("--fuse_projections", type=int, default=0)
     p.add_argument("--fuse_qkv", type=int, default=0)
+    p.add_argument("--fuse_layer", type=int, default=0)
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--eval_only", type=int, default=0)
     p.add_argument("--d_model", type=int, default=512)
@@ -76,7 +77,7 @@ def main():
         remat=bool(args.remat), remat_scope=args.remat_scope,
         fused_attention=bool(args.fused_attention),
         fuse_projections=bool(args.fuse_projections),
-        fuse_qkv=bool(args.fuse_qkv))
+        fuse_qkv=bool(args.fuse_qkv), fuse_layer=bool(args.fuse_layer))
 
     import jax.numpy as jnp
     rng = np.random.default_rng(0)
@@ -137,7 +138,7 @@ def main():
            "remat_scope": args.remat_scope,
            "fused_attention": args.fused_attention,
            "fuse_projections": args.fuse_projections,
-           "fuse_qkv": args.fuse_qkv,
+           "fuse_qkv": args.fuse_qkv, "fuse_layer": args.fuse_layer,
            "eval_only": args.eval_only, "dtype": args.compute_dtype,
            **cost}
     line = json.dumps(rec)
