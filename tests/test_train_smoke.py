@@ -79,6 +79,25 @@ def test_training_end_to_end(tmp_path, sample_reader):
 
 
 @pytest.mark.slow
+def test_training_end_to_end_fuse_layer(tmp_path, sample_reader):
+    """The layer-fused kernel path (fuse_layer=1) through the full engine:
+    on CPU it exercises the composed fallback incl. train-mode dropout and
+    the degenerate usr stream of the ID backbone."""
+    cfg = InterestConfig(
+        sample_csv=SAMPLE, d_model=32, nhead=4, num_layers_enc=2,
+        user_input_type="id", photo_input_type="id", fusion_heads=2,
+        train_batch_size=128, valid_batch_size=128, test_batch_size=128,
+        epochs=1, valid_step=2, logging_step=100, early_stop=0,
+        loss_type="interestBPR,focal", exposure_prob=[1.0] * 40,
+        eval_type_list="TOP_K", ckpt_dir=str(tmp_path), debug=True,
+        fuse_layer=True)
+    result = run_training(cfg, sample_reader)
+    assert result["steps"] > 0
+    tm = result["test_metrics"]
+    assert np.isfinite(tm["HR@5"]) and 0.0 <= tm["HR@5"] <= 1.0
+
+
+@pytest.mark.slow
 def test_kuairand_dialect_end_to_end(tmp_path, rng):
     """KuaiRand column dialect (photo_id / play_time_ms, no label_1D) flows
     through the same reader + training path (SURVEY.md A2/A9)."""
