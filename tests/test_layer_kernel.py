@@ -34,6 +34,12 @@ def test_fused_layer_matches_composed(rng, shape):
     xq, x1, x2, qkv, ep, mq, m1, m2 = make_case(
         rng, Lq=Lq, L1=L1, L2=L2, H=H, d=d, ff=ff)
     seed = jnp.ones((1,), jnp.int32)
+    # random linear functional, NOT sum-of-squares: for loss = sum(y2^2)
+    # the cotangent dy2 is proportional to LN2's own xhat, which lies in
+    # the LayerNorm backward's null space — every upstream gradient would
+    # cancel to rounding residue and the comparison would be vacuous
+    W = jnp.asarray(np.random.default_rng(9).normal(size=(8, Lq, d)),
+                    jnp.float32)
 
     def call(interpret):
         def f(xq, x1, x2, qkv, ep):
@@ -41,7 +47,7 @@ def test_fused_layer_matches_composed(rng, shape):
                 xq, x1, x2, qkv, ep, mq, m1, m2, num_heads=H,
                 dropout_rate=0.0, seed=seed, deterministic=True,
                 interpret=interpret)
-            return (out.astype(jnp.float32) ** 2).sum(), out
+            return (out.astype(jnp.float32) * W).sum(), out
         (_, out), grads = jax.value_and_grad(
             f, argnums=(0, 1, 2, 3, 4), has_aux=True)(xq, x1, x2, qkv, ep)
         return out, grads
