@@ -54,6 +54,35 @@ def test_sharded_matches_single_device_training():
 
 
 @pytest.mark.slow
+def test_sharded_matches_single_device_fuse_layer():
+    """The layer-fused kernel path (core/layer_kernel, composed XLA fallback
+    on CPU) must produce the same sharded train step as on one device."""
+    import dataclasses
+
+    from segmminterest_tpu.engine.train import InterestEngine
+    import __graft_entry__ as ge
+
+    cfg = dataclasses.replace(ge._tiny_config(), fuse_layer=True)
+    rng = np.random.default_rng(0)
+    feat = rng.normal(size=(64, 32)).astype(np.float32)
+    batch = ge._tiny_batch(rng, 16, 64)
+
+    outs = []
+    for devices in (jax.devices()[:1], jax.devices()[:8]):
+        engine = InterestEngine(cfg, n_users=20, n_items=50,
+                                feature_table=feat,
+                                mesh=make_mesh(devices))
+        state = engine.init_state(jax.random.PRNGKey(0), batch)
+        state, ld = engine.train_step(state, jax.random.PRNGKey(1), batch)
+        outs.append((jax.tree.map(np.asarray, state["params"]),
+                     float(ld["loss"])))
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(outs[0][0]),
+                    jax.tree_util.tree_leaves(outs[1][0])):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.slow
 def test_mmrec_runner_sharded_matches_single_device():
     """MMRec triplet training: one fit epoch + eval on an 8-way mesh must
     match the single-device path (the triplet batch is the only sharded
