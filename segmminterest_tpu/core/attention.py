@@ -1054,9 +1054,21 @@ def fused_proj_two_block_attention(xq, x1, x2, wq1, bq1, wq2, bq2,
                                    seed, deterministic, scale)
         return out.reshape(xq.shape[0], xq.shape[1], d)
     L1, L2 = x1.shape[1], x2.shape[1]
+    v2_explicit = version == 2
     if version is None:
         version = 2 if ATTN_V2 else 1
-    if version == 2 and (L1 % 8 == 0 or L2 % 8 == 0):
+    if version == 2 and L1 % 8 != 0 and L2 % 8 != 0:
+        # the v2 in-kernel sublane split needs one 8-aligned block; an
+        # EXPLICIT version=2 request must not be silently mislabeled as v1
+        # (A/B timings would lie), while the SEGMM_ATTN_V2 env default may
+        # degrade gracefully.
+        if v2_explicit:
+            raise ValueError(
+                f"version=2 requires L1 or L2 to be a multiple of 8 for the "
+                f"in-kernel sublane split; got L1={L1}, L2={L2} — use "
+                f"version=1 or pad a block")
+        version = 1
+    if version == 2:
         args_common = (float(dropout_rate), bool(deterministic),
                        bool(interpret), float(scale), int(num_heads), seed)
         if L1 % 8 == 0:
@@ -1355,7 +1367,7 @@ def _fp2_call_fwd(xq, x1, x2, cws, vws, mask_q, mask_1, mask_2,
         out_shape=jax.ShapeDtypeStruct((B, Lq, d), xq.dtype),
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=_grid_semantics()),
         interpret=interpret,
     )(seed, xq, x1, x2, *flat_ws,
       mask_q.astype(jnp.int32), mask_1.astype(jnp.int32),

@@ -195,13 +195,18 @@ def main(argv=None):
     logger.info("frames=%d users=%d train pairs=%d", data["n_items"],
                 data["n_users"], len(data["train_u"]))
 
-    mesh = None
-    if args.use_mesh:
+    def mesh_for(batch_size):
+        # Per-trial: --grid can sweep batch_size, and a batch the device
+        # count does not divide must fall back to single-device instead of
+        # failing inside the sharded jit.
+        if not args.use_mesh:
+            return None
         import jax
         from ..core.mesh import make_mesh
         if (len(jax.devices()) > 1
-                and args.batch_size % len(jax.devices()) == 0):
-            mesh = make_mesh(jax.devices())
+                and batch_size % len(jax.devices()) == 0):
+            return make_mesh(jax.devices())
+        return None
 
     if args.grid:
         # the reference grid loop: run every combination, report each
@@ -217,7 +222,7 @@ def main(argv=None):
                 setattr(trial, k, v)
             logger.info("=== %d/%d: %s=%s ===", idx + 1, len(combos),
                         keys, list(combo))
-            _, _, res = run_one(trial, data, mesh=mesh)
+            _, _, res = run_one(trial, data, mesh=mesh_for(trial.batch_size))
             hyper_ret.append({"params": dict(zip(keys, combo)),
                               "best_valid_result": res["best_valid_result"],
                               "best_test_upon_valid":
@@ -231,7 +236,8 @@ def main(argv=None):
         print(json.dumps(out, indent=2))
         return out
 
-    runner, best_state, result = run_one(args, data, mesh=mesh)
+    runner, best_state, result = run_one(args, data,
+                                         mesh=mesh_for(args.batch_size))
     if args.test_cold:
         cold = [r for r in data["test"]
                 if r["photo_id"] not in data["train_photos"]]

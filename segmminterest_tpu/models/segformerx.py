@@ -755,7 +755,18 @@ class SegFormerX(nn.Module):
                 "shapes; it is supported on the unfused (XLA) attention "
                 "path only — set fused_attention=False / fuse_layer=False")
 
-        whole_layer_remat = self.remat and self.remat_scope == "layer"
+        # The fused-layer kernel saves only the layer INPUTS and recomputes
+        # the forward inside its backward kernel (flash-style), so wrapping
+        # it in nn.remat would replay the whole layer forward a third time
+        # per step for nothing — bypass layer-scope remat exactly like the
+        # fused path already bypasses remat_attention. fuse_layer only takes
+        # effect on the non-ablated path (SegFormerXLayer.__call__ gate), so
+        # ablation runs keep their remat.
+        fused_layer_active = (self.fuse_layer
+                              and "CrossAtt" not in self.ablation
+                              and "SelfAtt" not in self.ablation)
+        whole_layer_remat = (self.remat and self.remat_scope == "layer"
+                             and not fused_layer_active)
         layer_cls = (nn.remat(SegFormerXLayer, static_argnums=(5,))
                      if whole_layer_remat else SegFormerXLayer)
         states = []

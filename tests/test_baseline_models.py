@@ -232,6 +232,23 @@ def test_mmrec_grid_driver(rng):
         assert "hr@5" in g["best_test_upon_valid"]
 
 
+def test_mmrec_grid_over_batch_size(rng):
+    """--grid can sweep batch_size: the mesh guard must re-check device
+    divisibility per trial (100 does not divide over the 8-device conftest
+    mesh and must fall back to single-device instead of crashing the
+    sharded jit)."""
+    from segmminterest_tpu.mmrec.main import main as mm_main
+    result = mm_main(["--model", "BPR",
+                      "--inter_csv", "/root/reference/SegMM_inter_sample.csv",
+                      "--min_interactions", "30", "--num_warmup", "10",
+                      "--epochs", "1", "--stopping_step", "1",
+                      "--feat_dim", "16", "--emb_size", "8",
+                      "--grid", "batch_size=100,128"])
+    assert [g["params"]["batch_size"] for g in result["grid"]] == [100, 128]
+    for g in result["grid"]:
+        assert "hr@5" in g["best_test_upon_valid"]
+
+
 @pytest.mark.parametrize("mask", [True, False])
 def test_interest_topk_matches_fork(rng, mask):
     """interest_topk vs a transliteration of the MMRec fork's

@@ -320,6 +320,29 @@ def test_proj_kernel_v2_matches_materialized(rng, shape):
                                    rtol=3e-4, atol=3e-4)
 
 
+def test_proj_kernel_v2_explicit_unaligned_raises(rng):
+    """An EXPLICIT version=2 request on shapes the v2 sublane split cannot
+    handle (neither L1 nor L2 8-aligned) must raise instead of silently
+    running v1 — otherwise A/B timings labeled 'v2' lie."""
+    import jax.numpy as jnp
+    from segmminterest_tpu.core import attention as A
+
+    B, Lq, L1, L2, H, d = 4, 5, 7, 5, 4, 32
+    mk = lambda *s: jnp.asarray(rng.normal(size=s) * 0.3, jnp.float32)
+    xq, x1, x2 = mk(B, Lq, d), mk(B, L1, d), mk(B, L2, d)
+    ws = [mk(d, d) for _ in range(6)]
+    bs = [mk(d) for _ in range(6)]
+    mq = jnp.ones((B, Lq), bool)
+    m1 = jnp.ones((B, L1), bool)
+    m2 = jnp.ones((B, L2), bool)
+    with pytest.raises(ValueError, match="multiple of 8"):
+        A.fused_proj_two_block_attention(
+            xq, x1, x2, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2],
+            ws[3], bs[3], ws[4], bs[4], ws[5], bs[5], mq, m1, m2,
+            num_heads=H, dropout_rate=0.0, deterministic=True,
+            interpret=True, version=2)
+
+
 def test_proj_kernel_v2_dropout_grad_consistency(rng):
     """With dropout active the v2 backward regenerates the forward's PRNG
     stream; a central finite difference through the SAME seed must match the

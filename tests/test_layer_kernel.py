@@ -187,6 +187,43 @@ def test_segformerx_fuse_layer_matches_fuse_qkv(rng):
                                    rtol=6e-4, atol=6e-4)
 
 
+def test_fuse_layer_suppresses_whole_layer_remat(rng):
+    """fuse_layer saves only the layer inputs and recomputes the forward
+    inside its backward kernel, so layer-scope nn.remat on top would replay
+    every layer forward a third time per step. SegFormerX must drop the
+    remat wrapper when the fused path is active (and keep it otherwise)."""
+    from segmminterest_tpu.models.segformerx import SegFormerX
+
+    kw = dict(d_model=32, num_heads=4, num_layers=2, ff_dim=48,
+              max_vid_len=12, max_usr_len=9, dropout=0.0,
+              user_id_max=-1, video_id_max=-1, output_layers=[-1],
+              remat=True, remat_scope="layer", interpret=True)
+    B = 4
+    usr = jnp.asarray(rng.normal(size=(B, 9, 16)), jnp.float32)
+    vid = jnp.asarray(rng.normal(size=(B, 12, 16)), jnp.float32)
+    um = jnp.ones((B, 9), bool)
+    vm = jnp.ones((B, 12), bool)
+
+    def grad_jaxpr(mod):
+        params = mod.init(jax.random.PRNGKey(0), usr, um, vid, vm,
+                          deterministic=True)["params"]
+
+        def f(p):
+            states, u = mod.apply({"params": p}, usr, um, vid, vm,
+                                  deterministic=True)
+            return (states[-1] ** 2).sum() + (u ** 2).sum()
+
+        return str(jax.make_jaxpr(jax.grad(f))(params))
+
+    # sanity: the detector sees nn.remat on the composed path
+    assert "remat" in grad_jaxpr(SegFormerX(**kw))
+    # the fused-layer path must not be wrapped in remat
+    assert "remat" not in grad_jaxpr(SegFormerX(fuse_layer=True, **kw))
+    # ...but an ablated run falls back to the composed layer and keeps it
+    assert "remat" in grad_jaxpr(
+        SegFormerX(fuse_layer=True, ablation="woCrossAtt", **kw))
+
+
 def test_segformerx_fuse_layer_id_backbone_smoke(rng):
     """ID backbone shapes (usr stream Lq=1 -> composed route inside the
     wrapper) train-mode smoke: finite loss and grads through the embed."""
