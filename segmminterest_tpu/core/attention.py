@@ -396,6 +396,85 @@ def _joint_probs(l1, l2, pair1, pair2, scale, dropout_rate, deterministic,
     return e1 / den, e2 / den, keep1, keep2
 
 
+def _attn_group_bwd(pq1, pq2, pk1, pk2, pv1, pv2, g_ref,
+                    oq1, oq2, ok1, ok2, ov1, ov2, pair1, pair2, *,
+                    num_heads, qk_dim, v_dim, scale, dropout_rate,
+                    deterministic, interpret, seed_val):
+    """Head-group fori_loop of the two-block joint-softmax attention
+    BACKWARD: replays the forward probabilities (same PRNG draw order as
+    the forward head loops — on the TPU stream the caller must re-seed
+    first) and writes the per-head dq1/dq2/dk1/dk2/dv1/dv2 into the o*
+    VMEM scratch refs. Shared by _fp_bwd_kernel here and
+    layer_kernel._fl_bwd_kernel."""
+    hpg = _head_group_size(num_heads, qk_dim, v_dim)
+    drop = (not deterministic) and dropout_rate > 0
+
+    def group_body(g, _):
+        dqs = pl.dslice(g * hpg * qk_dim, hpg * qk_dim)
+        dvs = pl.dslice(g * hpg * v_dim, hpg * v_dim)
+        q1g, q2g = pq1[:, :, dqs], pq2[:, :, dqs]
+        k1g, k2g = pk1[:, :, dqs], pk2[:, :, dqs]
+        v1g, v2g = pv1[:, :, dvs], pv2[:, :, dvs]
+        gg = g_ref[:, :, dvs].astype(jnp.float32)
+        acc = {k: [] for k in ("dq1", "dq2", "dk1", "dk2", "dv1", "dv2")}
+        for j in range(hpg):
+            sl = slice(j * qk_dim, (j + 1) * qk_dim)
+            sl_v = slice(j * v_dim, (j + 1) * v_dim)
+            dims = (((2,), (2,)), ((0,), (0,)))
+            q1_h, q2_h = q1g[:, :, sl], q2g[:, :, sl]
+            k1_h, k2_h = k1g[:, :, sl], k2g[:, :, sl]
+            v1_h, v2_h = v1g[:, :, sl_v], v2g[:, :, sl_v]
+            g_h = gg[:, :, sl_v]
+            l1 = jax.lax.dot_general(q1_h, k1_h, dims,
+                                     preferred_element_type=jnp.float32)
+            l2 = jax.lax.dot_general(q2_h, k2_h, dims,
+                                     preferred_element_type=jnp.float32)
+            p1, p2, keep1, keep2 = _joint_probs(
+                l1, l2, pair1, pair2, scale, dropout_rate, deterministic,
+                interpret, seed_val, g * hpg + j)
+            pt = (((1,), (1,)), ((0,), (0,)))
+            acc["dv1"].append(jax.lax.dot_general(
+                p1, g_h, pt, preferred_element_type=jnp.float32))
+            acc["dv2"].append(jax.lax.dot_general(
+                p2, g_h, pt, preferred_element_type=jnp.float32))
+            dp1 = jax.lax.dot_general(g_h, v1_h.astype(jnp.float32), dims,
+                                      preferred_element_type=jnp.float32)
+            dp2 = jax.lax.dot_general(g_h, v2_h.astype(jnp.float32), dims,
+                                      preferred_element_type=jnp.float32)
+            ssum = (dp1 * p1).sum(-1, keepdims=True) \
+                + (dp2 * p2).sum(-1, keepdims=True)
+            dl1 = p1 * (dp1 - ssum) * scale
+            dl2 = p2 * (dp2 - ssum) * scale
+            if drop:
+                dl1 = jnp.where(keep1, dl1 / (1.0 - dropout_rate), 0.0)
+                dl2 = jnp.where(keep2, dl2 / (1.0 - dropout_rate), 0.0)
+            dl1 = jnp.where(pair1, dl1, 0.0)
+            dl2 = jnp.where(pair2, dl2, 0.0)
+            qk = (((2,), (1,)), ((0,), (0,)))
+            acc["dq1"].append(jax.lax.dot_general(
+                dl1, k1_h.astype(jnp.float32), qk,
+                preferred_element_type=jnp.float32))
+            acc["dq2"].append(jax.lax.dot_general(
+                dl2, k2_h.astype(jnp.float32), qk,
+                preferred_element_type=jnp.float32))
+            acc["dk1"].append(jax.lax.dot_general(
+                dl1, q1_h.astype(jnp.float32), pt,
+                preferred_element_type=jnp.float32))
+            acc["dk2"].append(jax.lax.dot_general(
+                dl2, q2_h.astype(jnp.float32), pt,
+                preferred_element_type=jnp.float32))
+        cat = lambda xs: jnp.concatenate(xs, axis=-1) if hpg > 1 else xs[0]
+        oq1[:, :, dqs] = cat(acc["dq1"])
+        oq2[:, :, dqs] = cat(acc["dq2"])
+        ok1[:, :, dqs] = cat(acc["dk1"])
+        ok2[:, :, dqs] = cat(acc["dk2"])
+        ov1[:, :, dvs] = cat(acc["dv1"])
+        ov2[:, :, dvs] = cat(acc["dv2"])
+        return 0
+
+    jax.lax.fori_loop(0, num_heads // hpg, group_body, 0)
+
+
 def _fwd2_kernel(seed_ref, q1_ref, q2_ref, k1_ref, k2_ref, v1_ref, v2_ref,
                  mq_ref, mk1_ref, mk2_ref, o_ref, *,
                  num_heads, qk_dim, v_dim, scale, dropout_rate,
@@ -739,75 +818,15 @@ def _fp_bwd_kernel(seed_ref, xq_ref, x1_ref, x2_ref,
     pair1 = (mq_ref[...][:, :, None] * mk1_ref[...][:, None, :]) > 0
     pair2 = (mq_ref[...][:, :, None] * mk2_ref[...][:, None, :]) > 0
 
-    # Grouped fori_loop (see _fp_fwd_kernel): 128-lane slabs with static
-    # per-head unrolling inside; per-head grads are concatenated and stored
-    # once per slab into the VMEM scratch refs (sq1..sv2)
-    hpg = _head_group_size(num_heads, qk_dim, v_dim)
-
-    def group_body(g, _):
-        dqs = pl.dslice(g * hpg * qk_dim, hpg * qk_dim)
-        dvs = pl.dslice(g * hpg * v_dim, hpg * v_dim)
-        q1g, q2g = pq1[:, :, dqs], pq2[:, :, dqs]
-        k1g, k2g = pk1[:, :, dqs], pk2[:, :, dqs]
-        v1g, v2g = pv1[:, :, dvs], pv2[:, :, dvs]
-        gg = g_ref[:, :, dvs].astype(jnp.float32)
-        acc = {k: [] for k in ("dq1", "dq2", "dk1", "dk2", "dv1", "dv2")}
-        for j in range(hpg):
-            sl = slice(j * qk_dim, (j + 1) * qk_dim)
-            sl_v = slice(j * v_dim, (j + 1) * v_dim)
-            dims = (((2,), (2,)), ((0,), (0,)))
-            q1_h, q2_h = q1g[:, :, sl], q2g[:, :, sl]
-            k1_h, k2_h = k1g[:, :, sl], k2g[:, :, sl]
-            v1_h, v2_h = v1g[:, :, sl_v], v2g[:, :, sl_v]
-            g_h = gg[:, :, sl_v]
-            l1 = jax.lax.dot_general(q1_h, k1_h, dims,
-                                     preferred_element_type=jnp.float32)
-            l2 = jax.lax.dot_general(q2_h, k2_h, dims,
-                                     preferred_element_type=jnp.float32)
-            p1, p2, keep1, keep2 = _joint_probs(
-                l1, l2, pair1, pair2, scale, dropout_rate, deterministic,
-                interpret, seed_ref[0] + b, g * hpg + j)
-
-            pt = (((1,), (1,)), ((0,), (0,)))
-            acc["dv1"].append(jax.lax.dot_general(
-                p1, g_h, pt, preferred_element_type=jnp.float32))
-            acc["dv2"].append(jax.lax.dot_general(
-                p2, g_h, pt, preferred_element_type=jnp.float32))
-            dp1 = jax.lax.dot_general(g_h, v1_h.astype(jnp.float32), dims,
-                                      preferred_element_type=jnp.float32)
-            dp2 = jax.lax.dot_general(g_h, v2_h.astype(jnp.float32), dims,
-                                      preferred_element_type=jnp.float32)
-            ssum = (dp1 * p1).sum(-1, keepdims=True) \
-                + (dp2 * p2).sum(-1, keepdims=True)
-            dl1 = p1 * (dp1 - ssum) * scale
-            dl2 = p2 * (dp2 - ssum) * scale
-            if not deterministic and dropout_rate > 0:
-                dl1 = jnp.where(keep1, dl1 / (1.0 - dropout_rate), 0.0)
-                dl2 = jnp.where(keep2, dl2 / (1.0 - dropout_rate), 0.0)
-            dl1 = jnp.where(pair1, dl1, 0.0)
-            dl2 = jnp.where(pair2, dl2, 0.0)
-            qk = (((2,), (1,)), ((0,), (0,)))
-            acc["dq1"].append(jax.lax.dot_general(
-                dl1, k1_h.astype(jnp.float32), qk,
-                preferred_element_type=jnp.float32))
-            acc["dq2"].append(jax.lax.dot_general(
-                dl2, k2_h.astype(jnp.float32), qk,
-                preferred_element_type=jnp.float32))
-            acc["dk1"].append(jax.lax.dot_general(
-                dl1, q1_h.astype(jnp.float32), pt,
-                preferred_element_type=jnp.float32))
-            acc["dk2"].append(jax.lax.dot_general(
-                dl2, q2_h.astype(jnp.float32), pt,
-                preferred_element_type=jnp.float32))
-        sq1[:, :, dqs] = jnp.concatenate(acc["dq1"], axis=-1)
-        sq2[:, :, dqs] = jnp.concatenate(acc["dq2"], axis=-1)
-        sk1[:, :, dqs] = jnp.concatenate(acc["dk1"], axis=-1)
-        sk2[:, :, dqs] = jnp.concatenate(acc["dk2"], axis=-1)
-        sv1[:, :, dvs] = jnp.concatenate(acc["dv1"], axis=-1)
-        sv2[:, :, dvs] = jnp.concatenate(acc["dv2"], axis=-1)
-        return 0
-
-    jax.lax.fori_loop(0, num_heads // hpg, group_body, 0)
+    # Shared grouped backward (see _attn_group_bwd): 128-lane slabs with
+    # static per-head unrolling inside; per-head grads land in the VMEM
+    # scratch refs (sq1..sv2)
+    _attn_group_bwd(pq1, pq2, pk1, pk2, pv1, pv2, g_ref,
+                    sq1, sq2, sk1, sk2, sv1, sv2, pair1, pair2,
+                    num_heads=num_heads, qk_dim=qk_dim, v_dim=v_dim,
+                    scale=scale, dropout_rate=dropout_rate,
+                    deterministic=deterministic, interpret=interpret,
+                    seed_val=seed_ref[0] + b)
     dq1 = sq1[...]
     dq2 = sq2[...]
     dk1 = sk1[...]

@@ -43,9 +43,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .attention import (_attention_reference, _dropout_keep,
-                        _grid_semantics, _head_group_size, _joint_probs,
-                        _pick_block_b, _proj, _two_block_concat)
+from .attention import (_attention_reference, _attn_group_bwd,
+                        _dropout_keep, _grid_semantics, _head_group_size,
+                        _joint_probs, _pick_block_b, _proj,
+                        _two_block_concat)
 
 LN_EPS = 1e-12  # models/segformerx.py LN_EPS (torch LayerNorm default)
 
@@ -321,72 +322,12 @@ def _fl_bwd_kernel(seed_ref, xq_ref, x1_ref, x2_ref,
     # order-free, so no re-seed is needed there) ----
     if drop and not interpret:
         pltpu.prng_seed(seed_ref[0] + b)
-    hpg = _head_group_size(num_heads, qk_dim, v_dim)
-
-    def group_body(g, _):
-        dqs = pl.dslice(g * hpg * qk_dim, hpg * qk_dim)
-        dvs = pl.dslice(g * hpg * v_dim, hpg * v_dim)
-        q1g, q2g = sq1[:, :, dqs], sq2[:, :, dqs]
-        k1g, k2g = sk1[:, :, dqs], sk2[:, :, dqs]
-        v1g, v2g = sv1[:, :, dvs], sv2[:, :, dvs]
-        gg = sdatt[:, :, dvs]
-        acc = {k: [] for k in ("dq1", "dq2", "dk1", "dk2", "dv1", "dv2")}
-        for j in range(hpg):
-            sl = slice(j * qk_dim, (j + 1) * qk_dim)
-            sl_v = slice(j * v_dim, (j + 1) * v_dim)
-            dims = (((2,), (2,)), ((0,), (0,)))
-            q1_h, q2_h = q1g[:, :, sl], q2g[:, :, sl]
-            k1_h, k2_h = k1g[:, :, sl], k2g[:, :, sl]
-            v1_h, v2_h = v1g[:, :, sl_v], v2g[:, :, sl_v]
-            g_h = gg[:, :, sl_v]
-            l1 = jax.lax.dot_general(q1_h, k1_h, dims,
-                                     preferred_element_type=jnp.float32)
-            l2 = jax.lax.dot_general(q2_h, k2_h, dims,
-                                     preferred_element_type=jnp.float32)
-            p1, p2, keep1, keep2 = _joint_probs(
-                l1, l2, pair1, pair2, scale, dropout_rate, deterministic,
-                interpret, seed_val, g * hpg + j)
-            pt = (((1,), (1,)), ((0,), (0,)))
-            acc["dv1"].append(jax.lax.dot_general(
-                p1, g_h, pt, preferred_element_type=jnp.float32))
-            acc["dv2"].append(jax.lax.dot_general(
-                p2, g_h, pt, preferred_element_type=jnp.float32))
-            dp1 = jax.lax.dot_general(g_h, v1_h.astype(jnp.float32), dims,
-                                      preferred_element_type=jnp.float32)
-            dp2 = jax.lax.dot_general(g_h, v2_h.astype(jnp.float32), dims,
-                                      preferred_element_type=jnp.float32)
-            ssum = (dp1 * p1).sum(-1, keepdims=True) \
-                + (dp2 * p2).sum(-1, keepdims=True)
-            dl1 = p1 * (dp1 - ssum) * scale
-            dl2 = p2 * (dp2 - ssum) * scale
-            if drop:
-                dl1 = jnp.where(keep1, dl1 / (1.0 - p), 0.0)
-                dl2 = jnp.where(keep2, dl2 / (1.0 - p), 0.0)
-            dl1 = jnp.where(pair1, dl1, 0.0)
-            dl2 = jnp.where(pair2, dl2, 0.0)
-            qk = (((2,), (1,)), ((0,), (0,)))
-            acc["dq1"].append(jax.lax.dot_general(
-                dl1, k1_h.astype(jnp.float32), qk,
-                preferred_element_type=jnp.float32))
-            acc["dq2"].append(jax.lax.dot_general(
-                dl2, k2_h.astype(jnp.float32), qk,
-                preferred_element_type=jnp.float32))
-            acc["dk1"].append(jax.lax.dot_general(
-                dl1, q1_h.astype(jnp.float32), pt,
-                preferred_element_type=jnp.float32))
-            acc["dk2"].append(jax.lax.dot_general(
-                dl2, q2_h.astype(jnp.float32), pt,
-                preferred_element_type=jnp.float32))
-        cat = lambda xs: jnp.concatenate(xs, axis=-1) if hpg > 1 else xs[0]
-        sdq1[:, :, dqs] = cat(acc["dq1"])
-        sdq2[:, :, dqs] = cat(acc["dq2"])
-        sdk1[:, :, dqs] = cat(acc["dk1"])
-        sdk2[:, :, dqs] = cat(acc["dk2"])
-        sdv1[:, :, dvs] = cat(acc["dv1"])
-        sdv2[:, :, dvs] = cat(acc["dv2"])
-        return 0
-
-    jax.lax.fori_loop(0, num_heads // hpg, group_body, 0)
+    _attn_group_bwd(sq1, sq2, sk1, sk2, sv1, sv2, sdatt,
+                    sdq1, sdq2, sdk1, sdk2, sdv1, sdv2, pair1, pair2,
+                    num_heads=num_heads, qk_dim=qk_dim, v_dim=v_dim,
+                    scale=scale, dropout_rate=dropout_rate,
+                    deterministic=deterministic, interpret=interpret,
+                    seed_val=seed_val)
     dq1 = sdq1[...]
     dq2 = sdq2[...]
     dk1 = sdk1[...]

@@ -73,65 +73,12 @@ def _our_forward(batch):
 
 
 def _port_encoder_params(params, tmodel):
-    """flax SegFormerX params -> reference torch SegFormerX state_dict."""
-    import torch
+    """flax SegFormerX params -> reference torch SegFormerX state_dict
+    (the shared single-backbone porter, tools/ref_torch_loader.py)."""
+    import ref_torch_loader as rtl
 
     sd = dict(tmodel.state_dict())
-
-    def put(key, arr, transpose=False, conv=False):
-        t = torch.tensor(np.asarray(arr, np.float32))
-        if transpose:
-            t = t.T
-        if conv:  # flax (k, in, out) -> torch Conv1d (out, in, k)
-            t = t.permute(2, 1, 0)
-        assert key in sd, key
-        assert sd[key].shape == t.shape, (key, sd[key].shape, t.shape)
-        sd[key] = t
-
-    def dense(tkey, fl):
-        put(tkey + ".weight", fl["kernel"], transpose=True)
-        put(tkey + ".bias", fl["bias"])
-
-    def ln(tkey, fl):
-        put(tkey + ".weight", fl["scale"])
-        put(tkey + ".bias", fl["bias"])
-
-    def conv1d(tkey, fl):
-        put(tkey + ".weight", fl["kernel"], conv=True)
-        put(tkey + ".bias", fl["bias"])
-
-    dense("vid_proj", params["vid_proj"])
-    dense("usr_proj", params["usr_proj"])
-    put("vid_pe.weight", params["vid_pe"])
-    put("usr_pe.weight", params["usr_pe"])
-    ln("vid_ln", params["vid_ln"])
-    ln("usr_ln", params["usr_ln"])
-    for i in range(LAYERS):
-        key = f"layer_{i}"
-        if key not in params:
-            continue  # flax only builds layers that affect output_layers
-        lp = params[key]
-        base = f"encoder.layers.{i}"
-        for stream in ("t2v", "v2v", "t2t", "v2t"):
-            for j in range(3):
-                dense(f"{base}.cross_attn.{stream}_proj.{j}",
-                      lp["cross_attn"][f"{stream}_proj_{j}"])
-        if "sr" in lp["cross_attn"]:
-            conv1d(f"{base}.cross_attn.sr", lp["cross_attn"]["sr"])
-        dense(f"{base}.cross_attn.ff_usr", lp["cross_attn"]["ff_usr"])
-        dense(f"{base}.cross_attn.ff_vid", lp["cross_attn"]["ff_vid"])
-        ln(f"{base}.cross_attn.ln_usr", lp["cross_attn"]["ln_usr"])
-        ln(f"{base}.cross_attn.ln_vid", lp["cross_attn"]["ln_vid"])
-        for ff in ("ff_usr", "ff_vid"):
-            for j in range(2):
-                dense(f"{base}.{ff}.layers.{j}", lp[ff][f"layer_{j}"])
-        ln(f"{base}.ln_usr", lp["ln_usr"])
-        ln(f"{base}.ln_vid", lp["ln_vid"])
-    for i in range(LAYERS):
-        if f"patch_merge_{i}" in params:
-            conv1d(f"encoder.patch_merge.{i}", params[f"patch_merge_{i}"])
-        if f"pe_ln_{i}" in params:
-            ln(f"encoder.pe_lns.{i}", params[f"pe_ln_{i}"])
+    rtl.port_encoder(sd, params, LAYERS, prefix="")
     tmodel.load_state_dict(sd)
 
 

@@ -172,15 +172,19 @@ def build_ref_model(ref_modules, args, *, d, heads, layers, ff, feat, lv,
 # flax params -> torch state_dict
 # ---------------------------------------------------------------------------
 
-def port_params(params, tmodel, layers):
+def make_putters(sd):
+    """(put, port_dense, port_ln, port_conv1d) writing flax arrays into the
+    torch state_dict `sd` with shape checks. conv: flax Conv (k, in, out) ->
+    torch Conv1d (out, in, k)."""
     import torch
 
-    sd = dict(tmodel.state_dict())
-
-    def put(key, arr, transpose=False):
+    def put(key, arr, transpose=False, conv=False):
         t = torch.tensor(np.asarray(arr, np.float32))
         assert key in sd, key
-        t = t.T if transpose else t
+        if transpose:
+            t = t.T
+        if conv:
+            t = t.permute(2, 1, 0)
         assert sd[key].shape == t.shape, (key, sd[key].shape, t.shape)
         sd[key] = t
 
@@ -192,46 +196,69 @@ def port_params(params, tmodel, layers):
         put(tkey + ".weight", fl["scale"])
         put(tkey + ".bias", fl["bias"])
 
-    def port_backbone(bb):
-        p = params[bb]
-        if "embedding" in p["vid_proj"]:
-            put(f"{bb}.vid_proj.weight", p["vid_proj"]["embedding"])
-            port_dense(f"{bb}.frameid_proj", p["frameid_proj"])
-        else:
-            port_dense(f"{bb}.vid_proj", p["vid_proj"])
-        if "embedding" in p["usr_proj"]:
-            put(f"{bb}.usr_proj.weight", p["usr_proj"]["embedding"])
-        else:
-            port_dense(f"{bb}.usr_proj", p["usr_proj"])
-        put(f"{bb}.vid_pe.weight", p["vid_pe"])
-        put(f"{bb}.usr_pe.weight", p["usr_pe"])
-        port_ln(f"{bb}.vid_ln", p["vid_ln"])
-        port_ln(f"{bb}.usr_ln", p["usr_ln"])
-        for i in range(layers):
-            key = f"layer_{i}"
-            if key not in p:
-                continue  # flax only builds layers that affect output_layers
-            lp = p[key]
-            base = f"{bb}.encoder.layers.{i}"
-            for stream in ("t2v", "v2v", "t2t", "v2t"):
-                for j in range(3):
-                    port_dense(f"{base}.cross_attn.{stream}_proj.{j}",
-                               lp["cross_attn"][f"{stream}_proj_{j}"])
-            port_dense(f"{base}.cross_attn.ff_usr",
-                       lp["cross_attn"]["ff_usr"])
-            port_dense(f"{base}.cross_attn.ff_vid",
-                       lp["cross_attn"]["ff_vid"])
-            port_ln(f"{base}.cross_attn.ln_usr", lp["cross_attn"]["ln_usr"])
-            port_ln(f"{base}.cross_attn.ln_vid", lp["cross_attn"]["ln_vid"])
-            for ff in ("ff_usr", "ff_vid"):
-                for j in range(2):
-                    port_dense(f"{base}.{ff}.layers.{j}",
-                               lp[ff][f"layer_{j}"])
-            port_ln(f"{base}.ln_usr", lp["ln_usr"])
-            port_ln(f"{base}.ln_vid", lp["ln_vid"])
+    def port_conv1d(tkey, fl):
+        put(tkey + ".weight", fl["kernel"], conv=True)
+        put(tkey + ".bias", fl["bias"])
 
-    port_backbone("backbone1")
-    port_backbone("backbone2")
+    return put, port_dense, port_ln, port_conv1d
+
+
+def port_encoder(sd, p, layers, prefix=""):
+    """Port ONE flax SegFormerX param tree into a torch SegFormerX
+    state_dict (`prefix` e.g. 'backbone1.'), covering the exercised flat
+    path and the sr_ratio/patch-merge pyramid extras (sr conv, patch_merge
+    convs, pe_lns)."""
+    put, port_dense, port_ln, port_conv1d = make_putters(sd)
+    if "embedding" in p["vid_proj"]:
+        put(f"{prefix}vid_proj.weight", p["vid_proj"]["embedding"])
+        port_dense(f"{prefix}frameid_proj", p["frameid_proj"])
+    else:
+        port_dense(f"{prefix}vid_proj", p["vid_proj"])
+    if "embedding" in p["usr_proj"]:
+        put(f"{prefix}usr_proj.weight", p["usr_proj"]["embedding"])
+    else:
+        port_dense(f"{prefix}usr_proj", p["usr_proj"])
+    put(f"{prefix}vid_pe.weight", p["vid_pe"])
+    put(f"{prefix}usr_pe.weight", p["usr_pe"])
+    port_ln(f"{prefix}vid_ln", p["vid_ln"])
+    port_ln(f"{prefix}usr_ln", p["usr_ln"])
+    for i in range(layers):
+        key = f"layer_{i}"
+        if key not in p:
+            continue  # flax only builds layers that affect output_layers
+        lp = p[key]
+        base = f"{prefix}encoder.layers.{i}"
+        for stream in ("t2v", "v2v", "t2t", "v2t"):
+            for j in range(3):
+                port_dense(f"{base}.cross_attn.{stream}_proj.{j}",
+                           lp["cross_attn"][f"{stream}_proj_{j}"])
+        if "sr" in lp["cross_attn"]:
+            port_conv1d(f"{base}.cross_attn.sr", lp["cross_attn"]["sr"])
+        port_dense(f"{base}.cross_attn.ff_usr",
+                   lp["cross_attn"]["ff_usr"])
+        port_dense(f"{base}.cross_attn.ff_vid",
+                   lp["cross_attn"]["ff_vid"])
+        port_ln(f"{base}.cross_attn.ln_usr", lp["cross_attn"]["ln_usr"])
+        port_ln(f"{base}.cross_attn.ln_vid", lp["cross_attn"]["ln_vid"])
+        for ff in ("ff_usr", "ff_vid"):
+            for j in range(2):
+                port_dense(f"{base}.{ff}.layers.{j}",
+                           lp[ff][f"layer_{j}"])
+        port_ln(f"{base}.ln_usr", lp["ln_usr"])
+        port_ln(f"{base}.ln_vid", lp["ln_vid"])
+    for i in range(layers):
+        if f"patch_merge_{i}" in p:
+            port_conv1d(f"{prefix}encoder.patch_merge.{i}",
+                        p[f"patch_merge_{i}"])
+        if f"pe_ln_{i}" in p:
+            port_ln(f"{prefix}encoder.pe_lns.{i}", p[f"pe_ln_{i}"])
+
+
+def port_params(params, tmodel, layers):
+    sd = dict(tmodel.state_dict())
+    port_encoder(sd, params["backbone1"], layers, prefix="backbone1.")
+    port_encoder(sd, params["backbone2"], layers, prefix="backbone2.")
+    put, port_dense, _, _ = make_putters(sd)
     port_dense("fusion_module.w_x", params["fusion_module"]["w_x"])
     port_dense("fusion_module.w_y", params["fusion_module"]["w_y"])
     put("fusion_module.w_xy", params["fusion_module"]["w_xy"])
