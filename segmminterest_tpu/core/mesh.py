@@ -102,28 +102,45 @@ def pad_table_rows(table: np.ndarray, mesh: Mesh) -> np.ndarray:
     return table
 
 
-def sharded_table_gather(mesh: Mesh, table, ids):
+def sharded_table_gather(mesh: Mesh, table, ids, scale=None,
+                         out_dtype=None):
     """Gather rows of a model-axis-sharded table for a data-sharded id batch.
 
     Classic sharded-embedding pattern: every model shard gathers the ids
     that fall inside its row range (others contribute zeros) and a psum
     over 'model' assembles the full rows. ICI traffic = the gathered
     output, not the table. ids: (B, L) int32 >= 0; returns (B, L, dim).
+
+    With ``scale`` (the (rows, 1) per-row scale of an int8-quantized table,
+    sharded like the table), rows are dequantized to ``out_dtype`` INSIDE
+    the shard before the psum — int8 never crosses ICI un-scaled and the
+    psum runs in the compute dtype.
     """
     from functools import partial
     from jax.experimental.shard_map import shard_map
 
-    @partial(shard_map, mesh=mesh,
-             in_specs=(P(MODEL_AXIS, None), P(DATA_AXIS, None)),
-             out_specs=P(DATA_AXIS, None, None))
-    def gather(tab_local, ids_local):
+    def body(tab_local, ids_local, scale_local=None):
         rows_per = tab_local.shape[0]
         offset = jax.lax.axis_index(MODEL_AXIS) * rows_per
         local = ids_local - offset
         ok = (local >= 0) & (local < rows_per)
         local = jnp.clip(local, 0, rows_per - 1)
         out = jnp.take(tab_local, local, axis=0)
+        if scale_local is not None:
+            s = jnp.take(scale_local, local, axis=0)
+            out = out.astype(out_dtype) * s.astype(out_dtype)
         out = out * ok[..., None].astype(out.dtype)
         return jax.lax.psum(out, MODEL_AXIS)
 
-    return gather(table, ids)
+    if scale is None:
+        gather = partial(shard_map, mesh=mesh,
+                         in_specs=(P(MODEL_AXIS, None), P(DATA_AXIS, None)),
+                         out_specs=P(DATA_AXIS, None, None))(body)
+        return gather(table, ids)
+
+    gather = partial(shard_map, mesh=mesh,
+                     in_specs=(P(MODEL_AXIS, None), P(DATA_AXIS, None),
+                               P(MODEL_AXIS, None)),
+                     out_specs=P(DATA_AXIS, None, None))(
+        lambda t, i, s: body(t, i, s))
+    return gather(table, ids, scale)

@@ -36,7 +36,7 @@ from ..core.mesh import (make_mesh, batch_sharding, is_multihost,
                          model_axis_size, pad_table_rows,
                          replicated_sharding, sharded_table_gather,
                          table_sharding, to_host_global)
-from ..core.numerics import l1_normalize
+from ..core.numerics import dequantize_rows, l1_normalize, quantize_table_int8
 from ..data.dataset import BatchIterator
 from ..data.reader import SeqReader
 from ..data.feature_store import FeatureStore
@@ -96,9 +96,17 @@ class InterestEngine:
         self._multihost = is_multihost(self.mesh)
 
         self._table_sharded = False
+        self._table_quant = (config.table_quant == "int8"
+                             and self.feature_mode)
         if self.feature_mode:
             table = np.asarray(feature_table)
-            if (config.compute_dtype == "bfloat16"
+            scale = None
+            if self._table_quant:
+                # int8 + per-row scale halves the HBM-resident table vs
+                # bf16 (PARITY D8); the L1 normalization below makes the
+                # scale cancel, leaving rounding error only
+                table, scale = quantize_table_int8(table)
+            elif (config.compute_dtype == "bfloat16"
                     and table.dtype != jnp.bfloat16):
                 table = table.astype(jnp.bfloat16)
             if model_axis_size(self.mesh) > 1:
@@ -106,12 +114,19 @@ class InterestEngine:
                 # scales with mesh width (the 3.9M-row production table is
                 # ~8 GB — half of one v5e's HBM); gathers become
                 # local-gather + psum over 'model' (sharded_table_gather)
-                table = pad_table_rows(table, self.mesh)
-                self.feat_table = jax.device_put(
-                    table, table_sharding(self.mesh))
+                sh = table_sharding(self.mesh)
+                table = jax.device_put(pad_table_rows(table, self.mesh), sh)
+                if scale is not None:
+                    scale = jax.device_put(pad_table_rows(scale, self.mesh),
+                                           sh)
                 self._table_sharded = True
             else:
-                self.feat_table = jax.device_put(table, self._repl)
+                table = jax.device_put(table, self._repl)
+                if scale is not None:
+                    scale = jax.device_put(scale, self._repl)
+            # quantized tables travel as a (q, scale) pytree through the
+            # same jit argument
+            self.feat_table = (table, scale) if scale is not None else table
         else:
             self.feat_table = None
 
@@ -129,7 +144,21 @@ class InterestEngine:
         vid_mask = batch["vid_mask"]
         usr_mask = batch["user_mask"]
         if self.feature_mode:
-            if self._table_sharded:
+            cdt = (jnp.bfloat16 if self.config.compute_dtype == "bfloat16"
+                   else jnp.float32)
+            if self._table_quant:
+                q_tab, q_scale = feat_table
+                if self._table_sharded:
+                    gather = lambda ids: sharded_table_gather(  # noqa: E731
+                        self.mesh, q_tab, jnp.clip(ids, 0), scale=q_scale,
+                        out_dtype=cdt)
+                else:
+                    def gather(ids):
+                        ids = jnp.clip(ids, 0)
+                        return dequantize_rows(
+                            jnp.take(q_tab, ids, axis=0),
+                            jnp.take(q_scale, ids, axis=0), cdt)
+            elif self._table_sharded:
                 gather = lambda ids: sharded_table_gather(  # noqa: E731
                     self.mesh, feat_table, jnp.clip(ids, 0))
             else:

@@ -108,6 +108,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="whole encoder-layer streams in one Pallas kernel "
                         "each (attention + FFN epilogue, flash-style "
                         "backward recompute; remat becomes unnecessary)")
+    p.add_argument("--table_quant", type=str, default=d.table_quant,
+                   choices=["none", "int8"],
+                   help="store the HBM feature table int8 + per-row scale "
+                        "(half the bf16 footprint; the L1 normalization "
+                        "cancels the scale — rounding error only)")
     p.add_argument("--distributed", type=int, default=0,
                    help="multi-host: jax.distributed.initialize from "
                         "RANK/WORLD_SIZE/COORDINATOR_ADDRESS env and train "
@@ -151,7 +156,8 @@ def config_from_args(args: argparse.Namespace) -> InterestConfig:
         remat_scope=args.remat_scope,
         fused_attention=bool(args.fused_attention),
         fuse_projections=bool(args.fuse_projections),
-        fuse_layer=bool(args.fuse_layer))
+        fuse_layer=bool(args.fuse_layer),
+        table_quant=args.table_quant)
     cfg.loss_weight["surviveCE"] = args.loss_weight_surviveCE
     cfg.loss_weight["interestBPR"] = args.loss_weight_interestBPR
     cfg.loss_weight["interestCE"] = args.loss_weight_interestCE

@@ -102,6 +102,12 @@ class InterestConfig:
     # only layer inputs are saved for backward, so remat is unnecessary.
     # Supersedes fused_attention/fuse_qkv on the 'ours' path.
     fuse_layer: bool = False
+    # feature-table storage: 'none' keeps the table in compute_dtype
+    # (bf16 ≈ 8 GB at production scale); 'int8' stores per-row symmetric
+    # int8 + a float32 scale (≈4 GB), dequantized on gather — the L1
+    # normalization cancels the scale, so the model sees rounding error
+    # only (PARITY D8). Opt-in production memory lever.
+    table_quant: str = "none"       # none | int8
     # dropout PRNG implementation: 'rbg' is much faster than 'threefry2x32'
     # on TPU for the large attention-logit dropout masks
     rng_impl: str = "rbg"

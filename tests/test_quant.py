@@ -1,0 +1,81 @@
+"""int8 feature-table quantization (PARITY D8, opt-in production lever).
+
+The HBM-resident table drops to half the bf16 footprint; because the train
+path L1-normalizes every gathered row (core/numerics.l1_normalize, mirroring
+main_…SegMM.py:272-273), the per-row scale cancels and the model sees the
+int8 rounding error only.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from segmminterest_tpu.core.numerics import (dequantize_rows, l1_normalize,
+                                             quantize_table_int8)
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(11)
+
+
+def test_quantize_roundtrip_error_bound(rng):
+    table = rng.normal(size=(50, 64)).astype(np.float32) * 3.0
+    table[7] = 0.0  # all-zero row
+    q, scale = quantize_table_int8(table)
+    assert q.dtype == np.int8 and scale.shape == (50, 1)
+    deq = q.astype(np.float32) * scale
+    # symmetric rounding: error <= half a quantization step per element
+    step = np.abs(table).max(axis=1, keepdims=True) / 127.0
+    assert np.all(np.abs(deq - table) <= step / 2 + 1e-7)
+    np.testing.assert_array_equal(deq[7], 0.0)
+    # max-abs elements hit the rails exactly
+    assert np.abs(q).max() == 127
+
+
+def test_l1_normalized_rows_match_fp32(rng):
+    """After L1 normalization the per-row scale cancels; the normalized
+    int8 rows must match the fp32 rows to rounding error (~1/127 of the
+    row max, spread over the L1 mass)."""
+    table = rng.normal(size=(200, 1024)).astype(np.float32)
+    q, scale = quantize_table_int8(table)
+    ids = jnp.asarray(rng.integers(0, 200, size=(4, 9)).astype(np.int32))
+    deq = dequantize_rows(jnp.asarray(q)[ids.reshape(-1)],
+                          jnp.asarray(scale)[ids.reshape(-1)],
+                          jnp.float32)
+    ours = l1_normalize(deq)
+    ref = l1_normalize(jnp.asarray(table)[ids.reshape(-1)])
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=5e-5)
+
+
+def test_engine_int8_table_close_to_fp32(rng):
+    """One train step with table_quant=int8 vs the fp32 table: identical
+    init (params don't depend on the table values' dtype) and a loss within
+    quantization noise."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    from segmminterest_tpu.engine.train import InterestEngine
+    from segmminterest_tpu.core.mesh import make_mesh
+
+    feat = rng.normal(size=(64, 32)).astype(np.float32)
+    batch = ge._tiny_batch(rng, 16, 64)
+    losses = {}
+    for quant in ("none", "int8"):
+        cfg = dataclasses.replace(ge._tiny_config(), table_quant=quant)
+        engine = InterestEngine(cfg, n_users=20, n_items=50,
+                                feature_table=feat,
+                                mesh=make_mesh(jax.devices()[:1]))
+        if quant == "int8":
+            assert engine._table_quant
+            q_tab, q_scale = engine.feat_table
+            assert q_tab.dtype == jnp.int8 and q_scale.shape == (64, 1)
+        state = engine.init_state(jax.random.PRNGKey(0), batch)
+        state, ld = engine.train_step(state, jax.random.PRNGKey(1), batch)
+        losses[quant] = float(ld["loss"])
+    assert np.isfinite(losses["int8"])
+    np.testing.assert_allclose(losses["int8"], losses["none"], rtol=2e-3)

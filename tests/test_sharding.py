@@ -156,6 +156,58 @@ def test_sharded_table_gather_matches_take():
     np.testing.assert_allclose(np.asarray(out), table[ids], rtol=0, atol=0)
 
 
+def test_sharded_quantized_gather_matches_dequant():
+    """int8 + per-row-scale sharded gather (dequant inside the shard before
+    the psum) must equal the host-side dequantized jnp.take."""
+    import jax.numpy as jnp
+    from segmminterest_tpu.core.mesh import (pad_table_rows,
+                                             sharded_table_gather,
+                                             table_sharding)
+    from segmminterest_tpu.core.numerics import quantize_table_int8
+
+    mesh = make_mesh(jax.devices(), data=4, model=2)
+    rng = np.random.default_rng(4)
+    table = rng.normal(size=(37, 16)).astype(np.float32) * 2.5
+    q, scale = quantize_table_int8(table)
+    ids = rng.integers(0, 37, size=(8, 5)).astype(np.int32)
+
+    sh = table_sharding(mesh)
+    dev_q = jax.device_put(pad_table_rows(q, mesh), sh)
+    dev_s = jax.device_put(pad_table_rows(scale, mesh), sh)
+    out = sharded_table_gather(mesh, dev_q, jnp.asarray(ids), scale=dev_s,
+                               out_dtype=jnp.float32)
+    want = q.astype(np.float32)[ids] * scale[ids]
+    np.testing.assert_allclose(np.asarray(out), want, rtol=0, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_int8_table_sharded_matches_single_device():
+    """table_quant=int8 on a (4, 2) mesh (model-axis-sharded q + scale) must
+    reproduce the single-device int8 train step."""
+    import dataclasses
+    from segmminterest_tpu.engine.train import InterestEngine
+    import __graft_entry__ as ge
+
+    cfg = dataclasses.replace(ge._tiny_config(), table_quant="int8")
+    rng = np.random.default_rng(0)
+    feat = rng.normal(size=(63, 32)).astype(np.float32)
+    batch = ge._tiny_batch(rng, 16, 63)
+
+    outs = []
+    for mesh in (make_mesh(jax.devices()[:1]),
+                 make_mesh(jax.devices(), data=4, model=2)):
+        engine = InterestEngine(cfg, n_users=20, n_items=50,
+                                feature_table=feat, mesh=mesh)
+        state = engine.init_state(jax.random.PRNGKey(0), batch)
+        state, ld = engine.train_step(state, jax.random.PRNGKey(1), batch)
+        outs.append((jax.tree.map(np.asarray, state["params"]),
+                     float(ld["loss"])))
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(outs[0][0]),
+                    jax.tree_util.tree_leaves(outs[1][0])):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
+
+
 @pytest.mark.slow
 def test_model_axis_table_sharding_matches_replicated_training():
     """A (4, 2) mesh with the feature table row-sharded over 'model' must

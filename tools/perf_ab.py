@@ -55,6 +55,10 @@ def main():
                    choices=["float32", "bfloat16"],
                    help="host dtype of the synthetic table (bfloat16 halves "
                         "host RAM and skips the engine-side cast copy)")
+    p.add_argument("--table_quant", default="none",
+                   choices=["none", "int8"],
+                   help="int8 + per-row-scale HBM table (half the bf16 "
+                        "footprint; dequant on gather)")
     p.add_argument("--profile_dir", default="")
     p.add_argument("--cost_analysis", type=int, default=0,
                    help="print XLA's compiled cost analysis (flops/bytes) "
@@ -77,7 +81,8 @@ def main():
         remat=bool(args.remat), remat_scope=args.remat_scope,
         fused_attention=bool(args.fused_attention),
         fuse_projections=bool(args.fuse_projections),
-        fuse_qkv=bool(args.fuse_qkv), fuse_layer=bool(args.fuse_layer))
+        fuse_qkv=bool(args.fuse_qkv), fuse_layer=bool(args.fuse_layer),
+        table_quant=args.table_quant)
 
     import jax.numpy as jnp
     rng = np.random.default_rng(0)
@@ -139,6 +144,7 @@ def main():
            "fused_attention": args.fused_attention,
            "fuse_projections": args.fuse_projections,
            "fuse_qkv": args.fuse_qkv, "fuse_layer": args.fuse_layer,
+           "table_quant": args.table_quant,
            "eval_only": args.eval_only, "dtype": args.compute_dtype,
            **cost}
     line = json.dumps(rec)
