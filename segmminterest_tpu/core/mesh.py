@@ -117,7 +117,10 @@ def sharded_table_gather(mesh: Mesh, table, ids, scale=None,
     psum runs in the compute dtype.
     """
     from functools import partial
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
 
     def body(tab_local, ids_local, scale_local=None):
         rows_per = tab_local.shape[0]
