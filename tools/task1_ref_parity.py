@@ -97,7 +97,7 @@ def build_store(reader, rng):
     return FeatureStore(feat, lineid_map)
 
 
-def our_config(pool_cap=None):
+def our_config(pool_cap=None, table_quant="none"):
     from segmminterest_tpu.utils.config import InterestConfig
     return InterestConfig(
         d_model=D, nhead=HEADS, num_layers_enc=LAYERS,
@@ -107,15 +107,15 @@ def our_config(pool_cap=None):
         learning_rate=LR, weight_decay=WD, valid_step=VALID_STEP,
         early_stop=EARLY_STOP, epochs=EPOCHS, seed=SEED,
         compute_dtype="float32", remat=False,
-        pool_cap=pool_cap)
+        pool_cap=pool_cap, table_quant=table_quant)
 
 
-def run_ours(reader, store, pool_cap=None, tag="ours"):
+def run_ours(reader, store, pool_cap=None, tag="ours", table_quant="none"):
     import tempfile
 
     from segmminterest_tpu.engine.train import run_training
 
-    cfg = our_config(pool_cap=pool_cap)
+    cfg = our_config(pool_cap=pool_cap, table_quant=table_quant)
     st = time.time()
     with tempfile.TemporaryDirectory() as tmp:
         result = run_training(cfg, reader, feature_store=store, work_dir=tmp)
@@ -294,13 +294,19 @@ def main():
     p.add_argument("--epochs", type=int, default=EPOCHS,
                    help="override the training length (smoke: 1)")
     p.add_argument("--seed", type=int, default=SEED)
+    p.add_argument("--int8_ab", type=int, default=0,
+                   help="instead of the reference comparison, A/B OUR run "
+                        "with the fp32 vs int8-quantized feature table "
+                        "(PARITY D8 quality pricing; no torch run)")
     args = p.parse_args()
     EPOCHS = args.epochs
     SEED = args.seed
 
     import jax
-    if jax.default_backend() not in ("cpu",):
-        jax.config.update("jax_platforms", "cpu")
+    # unconditional: querying jax.default_backend() first would INITIALIZE
+    # the axon backend, which hangs indefinitely when the TPU tunnel is
+    # wedged — this tool is CPU-only by design (torch reference parity)
+    jax.config.update("jax_platforms", "cpu")
 
     from segmminterest_tpu.data.reader import SeqReader
 
@@ -310,6 +316,25 @@ def main():
     store = build_store(reader, rng)
 
     runs = []
+    if args.int8_ab:
+        print("=== our run (fp32 table) ===", flush=True)
+        runs.append(run_ours(reader, store, tag="ours_fp32"))
+        print(json.dumps(runs[-1]["test"], indent=2), flush=True)
+        print("=== our run (int8 table, PARITY D8 pricing) ===", flush=True)
+        runs.append(run_ours(reader, store, tag="ours_int8",
+                             table_quant="int8"))
+        print(json.dumps(runs[-1]["test"], indent=2), flush=True)
+        with open(args.out, "w") as f:
+            json.dump(runs, f, indent=2)
+        print(f"wrote {args.out}")
+        for r in runs:
+            keys = ("HR@1", "HR@5", "NDCG@5", "HR@10", "NDCG@10")
+            row = " ".join(f"{k}={r['test'][k]:.4f}" for k in keys
+                           if k in r["test"])
+            print(f"{r['tag']:>14}: {row}  (steps={r['steps']}, "
+                  f"{r['seconds']}s)")
+        return
+
     print("=== reference torch run ===", flush=True)
     runs.append(run_reference(reader, store))
     print(json.dumps(runs[-1]["test"], indent=2), flush=True)
