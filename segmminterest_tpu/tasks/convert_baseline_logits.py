@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 
 from ..data.reader import normalize_columns, split_interactions
+from ..utils.io import dump_logits
 
 
 def predictions_csv_to_logits(predictions_df, frame_map, inter_df,
@@ -63,6 +64,9 @@ def main(argv=None):
     p.add_argument("--min_interactions", type=int, default=100)
     p.add_argument("--num_warmup", type=int, default=80)
     p.add_argument("--out", type=str, default=None)
+    p.add_argument("--pth", type=int, default=0,
+                   help="also torch.save the dict as a .pth twin "
+                        "(PARITY S11)")
     args = p.parse_args(argv)
 
     with open(args.frame_map) as f:
@@ -78,8 +82,7 @@ def main(argv=None):
     logits = predictions_csv_to_logits(preds, frame_map, inter, user2dense,
                                        args.default_item)
     out = args.out or args.predictions_csv.replace(".csv", "_logits.json")
-    with open(out, "w") as f:
-        json.dump(logits, f)
+    dump_logits(logits, out, pth=bool(args.pth))
     print(f"wrote {len(logits)} logit rows to {out}")
 
 

@@ -25,6 +25,7 @@ import numpy as np
 
 from ..data.dataset import BatchIterator
 from ..data.feature_store import FeatureStore
+from ..utils.io import dump_logits
 from ..data.reader import SeqReader
 from ..engine.checkpoint import CheckPointer
 from ..engine.train import InterestEngine
@@ -59,6 +60,10 @@ def main(argv=None):
                    choices=["best", "latest"])
     p.add_argument("--out_dir", type=str, default="saved_logits")
     p.add_argument("--splits", type=str, default="train,dev,test")
+    p.add_argument("--pth", type=int, default=0,
+                   help="also torch.save the dict as a .pth twin, like the "
+                        "reference exporter (save_logits_for_all_leave_"
+                        "SegMM.py:195-200; PARITY S11)")
     p.add_argument("--parse_work_dir", type=int, default=1,
                    help="re-parse hyperparameters from the work_dir name, "
                         "as the reference inference scripts do "
@@ -109,8 +114,7 @@ def main(argv=None):
         all_logits.update(split_logits)
 
     out_path = osp.join(args.out_dir, "interest_logits.json")
-    with open(out_path, "w") as f:
-        json.dump(all_logits, f)
+    dump_logits(all_logits, out_path, pth=bool(args.pth))
     logger.info("wrote %d logit rows to %s", len(all_logits), out_path)
     return out_path
 

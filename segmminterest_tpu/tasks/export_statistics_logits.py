@@ -28,6 +28,7 @@ import os.path as osp
 import numpy as np
 
 from ..data.dataset import BatchIterator
+from ..utils.io import dump_logits
 from ..data.reader import SeqReader
 from ..engine.statistics import TEST_TYPES, compute_statistics, \
     synthesize_scores
@@ -74,6 +75,10 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=512)  # reference :206
     p.add_argument("--seed", type=int, default=42)         # reference :19
     p.add_argument("--debug", type=int, default=0)
+    p.add_argument("--pth", type=int, default=0,
+                   help="also torch.save each dict as a .pth twin "
+                        "(reference save_logits_for_statistics quirk, "
+                        "PARITY S11)")
     p.add_argument("--test_exposure_prob_type", type=str, default="ones",
                    choices=["ones", "statistics"])
     p.add_argument("--exposure_prob_path", type=str,
@@ -113,8 +118,7 @@ def main(argv=None):
         logits = export_test_type(test_type, stats, reader, args.batch_size,
                                   exposure_prob, rng, debug=bool(args.debug))
         path = osp.join(args.out_dir, f"statistics_{test_type}.json")
-        with open(path, "w") as f:
-            json.dump(logits, f)
+        dump_logits(logits, path, pth=bool(args.pth))
         logger.info("%s: wrote %d rows to %s", test_type, len(logits), path)
         paths.append(path)
     return paths

@@ -90,6 +90,21 @@ def test_convert_baseline_logits_unit(rng):
     assert all(x == 0.5 for x in logits["11-88-2000"])
 
 
+def test_dump_logits_pth_twin(tmp_path):
+    """PARITY S11: --pth 1 writes a torch-pickle twin of the JSON dict
+    (reference save_logits_for_all_leave_SegMM.py:195-200)."""
+    import json
+    import torch
+    from segmminterest_tpu.utils.io import dump_logits
+
+    d = {"10-77-1000": [0.1] * 40, "11-88-2000": [0.5] * 40}
+    path = str(tmp_path / "interest_logits.json")
+    dump_logits(d, path, pth=True)
+    with open(path) as f:
+        assert json.load(f) == d
+    assert torch.load(str(tmp_path / "interest_logits.pth")) == d
+
+
 @pytest.mark.slow
 def test_exp_multi_seed_sweep(tmp_path, segrec_data):
     """C2: the sweep harness runs an entry across seeds and writes the
