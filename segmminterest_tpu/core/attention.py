@@ -396,6 +396,52 @@ def _joint_probs(l1, l2, pair1, pair2, scale, dropout_rate, deterministic,
     return e1 / den, e2 / den, keep1, keep2
 
 
+def _attn_group_fwd(sq1, sq2, sk1, sk2, sv1, sv2, satt, pair1, pair2, *,
+                    num_heads, qk_dim, v_dim, scale, dropout_rate,
+                    deterministic, interpret, seed_val):
+    """Head-group fori_loop of the two-block joint-softmax attention
+    FORWARD: dynamic lane-dim slices must be 128-aligned on TPU, so the
+    loop walks groups of 128/qk_dim heads (SEGMM_ATTN_HPG widens the slab)
+    and unrolls statically inside each group (a full unroll over all heads
+    wedges the Mosaic compiler). Writes the per-head outputs into the
+    ``satt`` ref. Shared by _fp_fwd_kernel here and
+    layer_kernel._fl_{fwd,bwd}_kernel."""
+    hpg = _head_group_size(num_heads, qk_dim, v_dim)
+
+    def group_body(g, _):
+        dq = pl.dslice(g * hpg * qk_dim, hpg * qk_dim)
+        dv = pl.dslice(g * hpg * v_dim, hpg * v_dim)
+        q1g, q2g = sq1[:, :, dq], sq2[:, :, dq]
+        k1g, k2g = sk1[:, :, dq], sk2[:, :, dq]
+        v1g, v2g = sv1[:, :, dv], sv2[:, :, dv]
+        outs = []
+        for j in range(hpg):
+            sl = slice(j * qk_dim, (j + 1) * qk_dim)
+            sl_v = slice(j * v_dim, (j + 1) * v_dim)
+            dims = (((2,), (2,)), ((0,), (0,)))
+            l1 = jax.lax.dot_general(q1g[:, :, sl], k1g[:, :, sl], dims,
+                                     preferred_element_type=jnp.float32)
+            l2 = jax.lax.dot_general(q2g[:, :, sl], k2g[:, :, sl], dims,
+                                     preferred_element_type=jnp.float32)
+            p1, p2, _, _ = _joint_probs(
+                l1, l2, pair1, pair2, scale, dropout_rate, deterministic,
+                interpret, seed_val, g * hpg + j)
+            av = (((2,), (1,)), ((0,), (0,)))
+            v1_h = v1g[:, :, sl_v]
+            v2_h = v2g[:, :, sl_v]
+            outs.append((
+                jax.lax.dot_general(p1.astype(v1_h.dtype), v1_h, av,
+                                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(p2.astype(v2_h.dtype), v2_h, av,
+                                      preferred_element_type=jnp.float32)
+            ).astype(satt.dtype))
+        satt[:, :, dv] = jnp.concatenate(outs, axis=-1) if hpg > 1 \
+            else outs[0]
+        return 0
+
+    jax.lax.fori_loop(0, num_heads // hpg, group_body, 0)
+
+
 def _attn_group_bwd(pq1, pq2, pk1, pk2, pv1, pv2, g_ref,
                     oq1, oq2, ok1, ok2, ov1, ov2, pair1, pair2, *,
                     num_heads, qk_dim, v_dim, scale, dropout_rate,
@@ -749,43 +795,11 @@ def _fp_fwd_kernel(seed_ref, xq_ref, x1_ref, x2_ref,
     pair1 = (mq_ref[...][:, :, None] * mk1_ref[...][:, None, :]) > 0
     pair2 = (mq_ref[...][:, :, None] * mk2_ref[...][:, None, :]) > 0
 
-    # Grouped fori_loop: dynamic lane-dim slices must be 128-aligned on TPU,
-    # so the loop walks groups of 128/qk_dim heads (SEGMM_ATTN_HPG widens
-    # the slab) and unrolls statically inside each group (a full unroll
-    # over all heads wedges the Mosaic compiler).
-    hpg = _head_group_size(num_heads, qk_dim, v_dim)
-
-    def group_body(g, _):
-        dq = pl.dslice(g * hpg * qk_dim, hpg * qk_dim)
-        dv = pl.dslice(g * hpg * v_dim, hpg * v_dim)
-        q1g, q2g = sq1[:, :, dq], sq2[:, :, dq]
-        k1g, k2g = sk1[:, :, dq], sk2[:, :, dq]
-        v1g, v2g = sv1[:, :, dv], sv2[:, :, dv]
-        outs = []
-        for j in range(hpg):
-            sl = slice(j * qk_dim, (j + 1) * qk_dim)
-            sl_v = slice(j * v_dim, (j + 1) * v_dim)
-            dims = (((2,), (2,)), ((0,), (0,)))
-            l1 = jax.lax.dot_general(q1g[:, :, sl], k1g[:, :, sl], dims,
-                                     preferred_element_type=jnp.float32)
-            l2 = jax.lax.dot_general(q2g[:, :, sl], k2g[:, :, sl], dims,
-                                     preferred_element_type=jnp.float32)
-            p1, p2, _, _ = _joint_probs(
-                l1, l2, pair1, pair2, scale, dropout_rate, deterministic,
-                interpret, seed_ref[0] + b, g * hpg + j)
-            av = (((2,), (1,)), ((0,), (0,)))
-            v1_h = v1g[:, :, sl_v]
-            v2_h = v2g[:, :, sl_v]
-            outs.append((
-                jax.lax.dot_general(p1.astype(v1_h.dtype), v1_h, av,
-                                    preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(p2.astype(v2_h.dtype), v2_h, av,
-                                      preferred_element_type=jnp.float32)
-            ).astype(o_ref.dtype))
-        o_ref[:, :, dv] = jnp.concatenate(outs, axis=-1)
-        return 0
-
-    jax.lax.fori_loop(0, num_heads // hpg, group_body, 0)
+    _attn_group_fwd(sq1, sq2, sk1, sk2, sv1, sv2, o_ref, pair1, pair2,
+                    num_heads=num_heads, qk_dim=qk_dim, v_dim=v_dim,
+                    scale=scale, dropout_rate=dropout_rate,
+                    deterministic=deterministic, interpret=interpret,
+                    seed_val=seed_ref[0] + b)
 
 
 def _fp_bwd_kernel(seed_ref, xq_ref, x1_ref, x2_ref,
@@ -1062,6 +1076,15 @@ def fused_proj_two_block_attention(xq, x1, x2, wq1, bq1, wq2, bq2,
         # selectable on TPU with version=0 — for degenerate shapes (e.g.
         # backbone2's Lq=1 / L2=1 streams) the Pallas grid's per-step fixed
         # overhead can exceed the whole materialized computation.
+        if version == 2:
+            # an EXPLICIT v2 request must never be silently relabeled (A/B
+            # timings would lie) — here the backend forces the composed
+            # path, e.g. a kernel benchmark running while the TPU tunnel
+            # resolves to CPU
+            raise ValueError(
+                "version=2 was requested explicitly but the current "
+                f"backend ({jax.default_backend()}) routes to the composed "
+                "XLA path — run on TPU or pass interpret=True")
         def pr(x, w, bias):
             return (x @ w + bias).reshape(
                 x.shape[0], x.shape[1], num_heads, d // num_heads)

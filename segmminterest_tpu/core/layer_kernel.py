@@ -44,9 +44,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .attention import (_attention_reference, _attn_group_bwd,
-                        _dropout_keep, _grid_semantics, _head_group_size,
-                        _joint_probs, _pick_block_b, _proj,
-                        _two_block_concat)
+                        _attn_group_fwd, _dropout_keep, _grid_semantics,
+                        _pick_block_b, _proj, _two_block_concat)
 
 LN_EPS = 1e-12  # models/segformerx.py LN_EPS (torch LayerNorm default)
 
@@ -136,48 +135,6 @@ def _epilogue_fwd(xq, att, wff_ref, bff_ref, ln1s_ref, ln1b_ref,
     return dict(y2=y2f, keep_h=keep_h, keep_g=keep_g, keep_m=keep_m,
                 xhat1=xhat1, inv1=inv1, y1=y1, u=u, gact=gact,
                 xhat2=xhat2, inv2=inv2)
-
-
-def _attn_group_fwd(sq1, sq2, sk1, sk2, sv1, sv2, satt, pair1, pair2, *,
-                    num_heads, qk_dim, v_dim, scale, dropout_rate,
-                    deterministic, interpret, seed_val):
-    """Head-group fori_loop of the two-block joint-softmax attention; writes
-    the per-head outputs into the `satt` scratch (same structure as
-    attention._fp_fwd_kernel)."""
-    hpg = _head_group_size(num_heads, qk_dim, v_dim)
-
-    def group_body(g, _):
-        dq = pl.dslice(g * hpg * qk_dim, hpg * qk_dim)
-        dv = pl.dslice(g * hpg * v_dim, hpg * v_dim)
-        q1g, q2g = sq1[:, :, dq], sq2[:, :, dq]
-        k1g, k2g = sk1[:, :, dq], sk2[:, :, dq]
-        v1g, v2g = sv1[:, :, dv], sv2[:, :, dv]
-        outs = []
-        for j in range(hpg):
-            sl = slice(j * qk_dim, (j + 1) * qk_dim)
-            sl_v = slice(j * v_dim, (j + 1) * v_dim)
-            dims = (((2,), (2,)), ((0,), (0,)))
-            l1 = jax.lax.dot_general(q1g[:, :, sl], k1g[:, :, sl], dims,
-                                     preferred_element_type=jnp.float32)
-            l2 = jax.lax.dot_general(q2g[:, :, sl], k2g[:, :, sl], dims,
-                                     preferred_element_type=jnp.float32)
-            p1, p2, _, _ = _joint_probs(
-                l1, l2, pair1, pair2, scale, dropout_rate, deterministic,
-                interpret, seed_val, g * hpg + j)
-            av = (((2,), (1,)), ((0,), (0,)))
-            v1_h = v1g[:, :, sl_v]
-            v2_h = v2g[:, :, sl_v]
-            outs.append((
-                jax.lax.dot_general(p1.astype(v1_h.dtype), v1_h, av,
-                                    preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(p2.astype(v2_h.dtype), v2_h, av,
-                                      preferred_element_type=jnp.float32)
-            ).astype(satt.dtype))
-        satt[:, :, dv] = jnp.concatenate(outs, axis=-1) if hpg > 1 \
-            else outs[0]
-        return 0
-
-    jax.lax.fori_loop(0, num_heads // hpg, group_body, 0)
 
 
 def _fl_fwd_kernel(seed_ref, xq_ref, x1_ref, x2_ref,

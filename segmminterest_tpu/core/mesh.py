@@ -122,6 +122,13 @@ def sharded_table_gather(mesh: Mesh, table, ids, scale=None,
     except ImportError:
         from jax.experimental.shard_map import shard_map
 
+    from .numerics import dequantize_rows
+
+    if scale is not None and out_dtype is None:
+        raise ValueError("sharded_table_gather(scale=...) requires an "
+                         "explicit out_dtype (astype(None) would silently "
+                         "promote the psum to the default float)")
+
     def body(tab_local, ids_local, scale_local=None):
         rows_per = tab_local.shape[0]
         offset = jax.lax.axis_index(MODEL_AXIS) * rows_per
@@ -130,20 +137,16 @@ def sharded_table_gather(mesh: Mesh, table, ids, scale=None,
         local = jnp.clip(local, 0, rows_per - 1)
         out = jnp.take(tab_local, local, axis=0)
         if scale_local is not None:
-            s = jnp.take(scale_local, local, axis=0)
-            out = out.astype(out_dtype) * s.astype(out_dtype)
+            out = dequantize_rows(out, jnp.take(scale_local, local, axis=0),
+                                  out_dtype)
         out = out * ok[..., None].astype(out.dtype)
         return jax.lax.psum(out, MODEL_AXIS)
 
-    if scale is None:
-        gather = partial(shard_map, mesh=mesh,
-                         in_specs=(P(MODEL_AXIS, None), P(DATA_AXIS, None)),
-                         out_specs=P(DATA_AXIS, None, None))(body)
-        return gather(table, ids)
-
-    gather = partial(shard_map, mesh=mesh,
-                     in_specs=(P(MODEL_AXIS, None), P(DATA_AXIS, None),
-                               P(MODEL_AXIS, None)),
-                     out_specs=P(DATA_AXIS, None, None))(
-        lambda t, i, s: body(t, i, s))
-    return gather(table, ids, scale)
+    in_specs = (P(MODEL_AXIS, None), P(DATA_AXIS, None))
+    operands = (table, ids)
+    if scale is not None:
+        in_specs += (P(MODEL_AXIS, None),)
+        operands += (scale,)
+    gather = partial(shard_map, mesh=mesh, in_specs=in_specs,
+                     out_specs=P(DATA_AXIS, None, None))(body)
+    return gather(*operands)

@@ -760,9 +760,14 @@ class SegFormerX(nn.Module):
         # it in nn.remat would replay the whole layer forward a third time
         # per step for nothing — bypass layer-scope remat exactly like the
         # fused path already bypasses remat_attention. fuse_layer only takes
-        # effect on the non-ablated path (SegFormerXLayer.__call__ gate), so
-        # ablation runs keep their remat.
-        fused_layer_active = (self.fuse_layer
+        # effect on the non-ablated path (SegFormerXLayer.__call__ gate) AND
+        # when the kernel path will actually be taken (fused_layer_stream
+        # falls back to the composed XLA path off-TPU when not in interpret
+        # mode — there standard autodiff saves activations, so remat must
+        # stay on); ablation runs keep their remat either way.
+        kernel_path = self.interpret or jax.default_backend() in ("tpu",
+                                                                  "axon")
+        fused_layer_active = (self.fuse_layer and kernel_path
                               and "CrossAtt" not in self.ablation
                               and "SelfAtt" not in self.ablation)
         whole_layer_remat = (self.remat and self.remat_scope == "layer"

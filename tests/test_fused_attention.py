@@ -341,6 +341,14 @@ def test_proj_kernel_v2_explicit_unaligned_raises(rng):
             ws[3], bs[3], ws[4], bs[4], ws[5], bs[5], mq, m1, m2,
             num_heads=H, dropout_rate=0.0, deterministic=True,
             interpret=True, version=2)
+    # ...and an explicit version=2 that would silently run the composed XLA
+    # fallback (interpret=False on this CPU backend) must raise too
+    with pytest.raises(ValueError, match="composed XLA path"):
+        A.fused_proj_two_block_attention(
+            xq, x1, x2, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2],
+            ws[3], bs[3], ws[4], bs[4], ws[5], bs[5], mq, m1, m2,
+            num_heads=H, dropout_rate=0.0, deterministic=True,
+            interpret=False, version=2)
 
 
 def test_proj_kernel_v2_dropout_grad_consistency(rng):

@@ -222,6 +222,11 @@ def test_fuse_layer_suppresses_whole_layer_remat(rng):
     # ...but an ablated run falls back to the composed layer and keeps it
     assert "remat" in grad_jaxpr(
         SegFormerX(fuse_layer=True, ablation="woCrossAtt", **kw))
+    # ...and so does fuse_layer OFF the kernel path (interpret=False on
+    # this CPU backend routes fused_layer_stream to the composed XLA path,
+    # where standard autodiff saves activations — remat must stay)
+    kw_no_interp = dict(kw, interpret=False)
+    assert "remat" in grad_jaxpr(SegFormerX(fuse_layer=True, **kw_no_interp))
 
 
 def test_segformerx_fuse_layer_id_backbone_smoke(rng):

@@ -56,8 +56,6 @@ def test_engine_int8_table_close_to_fp32(rng):
     """One train step with table_quant=int8 vs the fp32 table: identical
     init (params don't depend on the table values' dtype) and a loss within
     quantization noise."""
-    import sys
-    sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
     from segmminterest_tpu.engine.train import InterestEngine
     from segmminterest_tpu.core.mesh import make_mesh

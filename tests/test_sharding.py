@@ -178,6 +178,10 @@ def test_sharded_quantized_gather_matches_dequant():
                                out_dtype=jnp.float32)
     want = q.astype(np.float32)[ids] * scale[ids]
     np.testing.assert_allclose(np.asarray(out), want, rtol=0, atol=1e-6)
+    # scale without an explicit out_dtype must raise (astype(None) would
+    # silently promote the psum to the default float)
+    with pytest.raises(ValueError, match="out_dtype"):
+        sharded_table_gather(mesh, dev_q, jnp.asarray(ids), scale=dev_s)
 
 
 @pytest.mark.slow
