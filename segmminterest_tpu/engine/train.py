@@ -99,16 +99,30 @@ class InterestEngine:
         self._table_quant = (config.table_quant == "int8"
                              and self.feature_mode)
         if self.feature_mode:
-            table = np.asarray(feature_table)
             scale = None
             if self._table_quant:
                 # int8 + per-row scale halves the HBM-resident table vs
                 # bf16 (PARITY D8); the L1 normalization below makes the
-                # scale cancel, leaving rounding error only
-                table, scale = quantize_table_int8(table)
-            elif (config.compute_dtype == "bfloat16"
-                    and table.dtype != jnp.bfloat16):
-                table = table.astype(jnp.bfloat16)
+                # scale cancel, leaving rounding error only. A pre-quantized
+                # (int8 rows, float32 (N, 1) scales) pair is accepted as-is
+                # so callers can quantize chunk-wise at build time instead
+                # of materializing the full float table (tools/perf_ab.py).
+                if isinstance(feature_table, tuple):
+                    table, scale = (np.asarray(feature_table[0]),
+                                    np.asarray(feature_table[1]))
+                    if table.dtype != np.int8 or scale.dtype != np.float32:
+                        raise ValueError(
+                            "pre-quantized feature_table must be "
+                            "(int8 rows, float32 scales); got "
+                            f"({table.dtype}, {scale.dtype})")
+                else:
+                    table, scale = quantize_table_int8(
+                        np.asarray(feature_table))
+            else:
+                table = np.asarray(feature_table)
+                if (config.compute_dtype == "bfloat16"
+                        and table.dtype != jnp.bfloat16):
+                    table = table.astype(jnp.bfloat16)
             if model_axis_size(self.mesh) > 1:
                 # row-shard the table over the model axis: table capacity
                 # scales with mesh width (the 3.9M-row production table is

@@ -77,3 +77,32 @@ def test_engine_int8_table_close_to_fp32(rng):
         losses[quant] = float(ld["loss"])
     assert np.isfinite(losses["int8"])
     np.testing.assert_allclose(losses["int8"], losses["none"], rtol=2e-3)
+
+
+def test_engine_accepts_prequantized_table(rng):
+    """A (int8 rows, float32 scales) pair is used as-is — same compiled
+    step and loss as handing the engine the float table to quantize
+    (tools/perf_ab.py builds production tables chunk-wise this way)."""
+    import __graft_entry__ as ge
+    from segmminterest_tpu.engine.train import InterestEngine
+    from segmminterest_tpu.core.mesh import make_mesh
+
+    feat = rng.normal(size=(64, 32)).astype(np.float32)
+    batch = ge._tiny_batch(rng, 16, 64)
+    cfg = dataclasses.replace(ge._tiny_config(), table_quant="int8")
+    losses = {}
+    for pre in (False, True):
+        table = quantize_table_int8(feat) if pre else feat
+        engine = InterestEngine(cfg, n_users=20, n_items=50,
+                                feature_table=table,
+                                mesh=make_mesh(jax.devices()[:1]))
+        q_tab, q_scale = engine.feat_table
+        assert q_tab.dtype == jnp.int8 and q_scale.shape == (64, 1)
+        state = engine.init_state(jax.random.PRNGKey(0), batch)
+        state, ld = engine.train_step(state, jax.random.PRNGKey(1), batch)
+        losses[pre] = float(ld["loss"])
+    assert losses[True] == losses[False]
+    with pytest.raises(ValueError, match="pre-quantized"):
+        InterestEngine(cfg, n_users=20, n_items=50,
+                       feature_table=(feat, feat[:, :1]),
+                       mesh=make_mesh(jax.devices()[:1]))

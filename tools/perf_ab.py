@@ -66,6 +66,7 @@ def main():
     p.add_argument("--out", default="/tmp/perf_ab.jsonl")
     args = p.parse_args()
 
+    T0 = time.perf_counter()
     from bench import make_batch
 
     import jax
@@ -86,18 +87,42 @@ def main():
 
     import jax.numpy as jnp
     rng = np.random.default_rng(0)
-    dt = jnp.bfloat16 if args.table_dtype == "bfloat16" else np.float32
-    feat_table = np.empty((args.table_rows, FEAT_DIM), dt)
-    for start in range(0, args.table_rows, 262_144):  # chunked: big tables
-        stop = min(start + 262_144, args.table_rows)
-        feat_table[start:stop] = rng.standard_normal(
-            (stop - start, FEAT_DIM), dtype=np.float32).astype(dt)
+    # Synthesize the table from ONE random chunk tiled to size: gather/step
+    # timing is value-independent, and a fresh draw + ml_dtypes bf16 cast
+    # per chunk costs ~30 min of host CPU at production row counts (the
+    # round-3 int8 measurement lost a whole 2400 s budget to it).
+    chunk_rows = min(262_144, args.table_rows)
+    chunk = rng.standard_normal((chunk_rows, FEAT_DIM), dtype=np.float32)
+    if args.table_quant == "int8":
+        # pre-quantized chunk-wise (engine accepts the (int8, scale) pair):
+        # never materializes the float table at all
+        from segmminterest_tpu.core.numerics import quantize_table_int8
+        qc, sc = quantize_table_int8(chunk)
+        q = np.empty((args.table_rows, FEAT_DIM), np.int8)
+        s = np.empty((args.table_rows, 1), np.float32)
+        for start in range(0, args.table_rows, chunk_rows):
+            stop = min(start + chunk_rows, args.table_rows)
+            q[start:stop] = qc[:stop - start]
+            s[start:stop] = sc[:stop - start]
+        feat_table = (q, s)
+    else:
+        dt = jnp.bfloat16 if args.table_dtype == "bfloat16" else np.float32
+        chunk = chunk.astype(dt)
+        feat_table = np.empty((args.table_rows, FEAT_DIM), dt)
+        for start in range(0, args.table_rows, chunk_rows):
+            stop = min(start + chunk_rows, args.table_rows)
+            feat_table[start:stop] = chunk[:stop - start]
+    trace = lambda msg: print(f"[perf_ab +{time.perf_counter() - T0:.0f}s] "
+                              f"{msg}", file=sys.stderr, flush=True)
+    trace("host table built")
     engine = InterestEngine(cfg, n_users=1903, n_items=352494,
                             feature_table=feat_table)
+    trace("table resident on device")
 
     batches = [make_batch(rng, args.batch, n_lines=args.table_rows)
                for _ in range(4)]
     state = engine.init_state(jax.random.PRNGKey(0), batches[0])
+    trace("params initialized")
     key = jax.random.key(1, impl=cfg.rng_impl)
 
     def step(i, state, key):
@@ -111,6 +136,7 @@ def main():
     for i in range(args.warmup):
         state, key, loss = step(i, state, key)
     jax.block_until_ready(loss)
+    trace("warmup done (step compiled)")
 
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
