@@ -109,7 +109,10 @@ def test_two_process_dcn_init_and_hybrid_mesh(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=180)
+            # generous: two children each import jax (~30 s cold on this
+            # 1-CPU box) and the barrier stalls if anything else saturates
+            # the core — 180 s flaked under a concurrent compile job
+            out, _ = p.communicate(timeout=420)
         except subprocess.TimeoutExpired:
             p.kill()
             out, _ = p.communicate()
