@@ -25,7 +25,11 @@ is an *estimate* of the reference's A100 interactions/sec
 (REFERENCE_A100_IPS_EST below): the reference's per-sample host work bounds it
 well below compute; 2,000 interactions/s is a generous estimate for that
 pipeline. Replace with a measured value when the reference can be run on an
-A100.
+A100. A measured same-hardware control exists: `tools/task1_ref_parity.py
+--throughput 1` times the reference torch step vs ours on this CPU
+(BASELINE.md "Same-hardware control" — 2.71x at overhead-dominated scale,
+0.79x at GEMM-dominated scale where the ratio is MKL vs XLA-CPU Eigen, not
+the TPU path).
 
 Tunnel resilience: the axon TPU tunnel can wedge for 30+ minutes (CLAUDE.md);
 round 1's bench crashed rc=1 on exactly that. The tunnel is now probed in a

@@ -128,6 +128,38 @@ def run_ours(reader, store, pool_cap=None, tag="ours", table_quant="none"):
     }
 
 
+def make_to_torch(feat):
+    """Fixed-shape index batch -> the reference's ragged tensor batch
+    (dataloader_SegMM.py DataCollator output + the main loop's L1
+    normalization, main_…SegMM.py:271-273)."""
+    import torch
+
+    def to_torch(batch):
+        rm = batch["row_mask"]
+        photo = feat[np.clip(batch["photo_lines"][rm], 0, None)]
+        photo = photo * (batch["vid_mask"][rm][..., None])
+        user = feat[np.clip(batch["user_lines"][rm], 0, None)]
+        user = user * (batch["user_mask"][rm][..., None])
+        t = {
+            "user": torch.tensor(user, dtype=torch.float32),
+            "photo": torch.tensor(photo, dtype=torch.float32),
+            "user_identity_id": torch.tensor(
+                batch["user_identity_id"][rm].astype(np.int64)),
+            "photo_identity_id": torch.tensor(
+                batch["photo_identity_id"][rm].astype(np.int64)),
+            "user_mask": torch.tensor(batch["user_mask"][rm]),
+            "photo_mask": torch.tensor(batch["vid_mask"][rm]),
+            "label": torch.tensor(batch["label"][rm].astype(np.int64)),
+        }
+        t["user"] = t["user"] / (t["user"].norm(p=1, dim=-1, keepdim=True)
+                                 + 1e-6)
+        t["photo"] = t["photo"] / (t["photo"].norm(p=1, dim=-1, keepdim=True)
+                                   + 1e-6)
+        return t
+
+    return to_torch
+
+
 def run_reference(reader, store):
     """The reference training loop, fed by our BatchIterator (identical
     splits + features; ragged rows restored via row_mask stripping)."""
@@ -155,33 +187,7 @@ def run_reference(reader, store):
     train_iter = make_iter("train", True)
     valid_iter = make_iter("dev", False)
     test_iter = make_iter("test", False)
-    feat = store.feat
-
-    def to_torch(batch):
-        """Fixed-shape index batch -> the reference's ragged tensor batch
-        (dataloader_SegMM.py DataCollator output + the main loop's L1
-        normalization, main_…SegMM.py:271-273)."""
-        rm = batch["row_mask"]
-        photo = feat[np.clip(batch["photo_lines"][rm], 0, None)]
-        photo = photo * (batch["vid_mask"][rm][..., None])
-        user = feat[np.clip(batch["user_lines"][rm], 0, None)]
-        user = user * (batch["user_mask"][rm][..., None])
-        t = {
-            "user": torch.tensor(user, dtype=torch.float32),
-            "photo": torch.tensor(photo, dtype=torch.float32),
-            "user_identity_id": torch.tensor(
-                batch["user_identity_id"][rm].astype(np.int64)),
-            "photo_identity_id": torch.tensor(
-                batch["photo_identity_id"][rm].astype(np.int64)),
-            "user_mask": torch.tensor(batch["user_mask"][rm]),
-            "photo_mask": torch.tensor(batch["vid_mask"][rm]),
-            "label": torch.tensor(batch["label"][rm].astype(np.int64)),
-        }
-        t["user"] = t["user"] / (t["user"].norm(p=1, dim=-1, keepdim=True)
-                                 + 1e-6)
-        t["photo"] = t["photo"] / (t["photo"].norm(p=1, dim=-1, keepdim=True)
-                                   + 1e-6)
-        return t
+    to_torch = make_to_torch(store.feat)
 
     def run_valid():
         model.eval()
@@ -286,6 +292,108 @@ def run_reference(reader, store):
             "steps": global_step, "seconds": round(time.time() - st, 1)}
 
 
+def run_throughput(reader, store, warmup, steps, d_model=None, heads=None,
+                   layers=None, batch=None):
+    """Same-hardware throughput control (VERDICT r2 weak #1): the reference
+    torch training step vs our engine's jitted step, identical math
+    (float32, same dims, same batches), both on this CPU. The A100 divisor
+    in bench.py cannot be measured in this environment; this measures the
+    pure framework/compiler ratio on hardware both sides CAN run on.
+
+    Protocol is generous to the reference: its batches are pre-converted to
+    torch tensors OUTSIDE the timed loop (in real training the reference
+    pays that per step in its collator), while our timed loop includes
+    put_batch host->device staging; each of our steps blocks on the loss.
+    """
+    import torch
+
+    import jax
+    import ref_torch_loader as rtl
+    from segmminterest_tpu.data.dataset import BatchIterator
+    from segmminterest_tpu.engine.train import InterestEngine
+
+    d = d_model or D
+    h = heads or HEADS
+    nl = layers or LAYERS
+    bsz = batch or BATCH
+
+    torch.manual_seed(SEED)
+    np.random.seed(SEED)
+    torch.set_num_threads(os.cpu_count() or 1)
+
+    batches = list(BatchIterator(reader, reader.tables["train"], bsz,
+                                 shuffle=True, feature_store=store,
+                                 seed=SEED))
+    if not batches:
+        raise RuntimeError("no train batches")
+
+    # --- reference torch step -------------------------------------------
+    ref_modules = rtl.load_ref_modules()
+    args = rtl.make_ref_args(d_model=d, nhead=h, num_layers_enc=nl)
+    model = rtl.build_ref_model(
+        ref_modules, args, d=d, heads=h, layers=nl, ff=d,
+        feat=FEAT, lv=40, usr_max_img=100, n_users=reader.n_users,
+        n_items=reader.n_items)
+    opt = torch.optim.AdamW(model.parameters(), lr=LR, weight_decay=WD)
+    to_torch = make_to_torch(store.feat)
+
+    torch_batches = [to_torch(b) for b in batches]
+    rows = float(np.mean([int(b["row_mask"].sum()) for b in batches]))
+
+    def ref_step(t):
+        opt.zero_grad()
+        out = model(usr_image=t["user"], usr_id=t["user_identity_id"],
+                    usr_mask=t["user_mask"], vid_image=t["photo"],
+                    vid_id=t["photo_identity_id"], vid_mask=t["photo_mask"],
+                    gt=t["label"], mode="train")
+        out["loss"].backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 10.0)
+        opt.step()
+
+    model.train()
+    for i in range(warmup):
+        ref_step(torch_batches[i % len(torch_batches)])
+    st = time.time()
+    for i in range(steps):
+        ref_step(torch_batches[i % len(torch_batches)])
+    ref_s = (time.time() - st) / steps
+    del model, opt, torch_batches
+
+    # --- our jitted step -------------------------------------------------
+    cfg = our_config()
+    cfg.d_model, cfg.nhead, cfg.num_layers_enc = d, h, nl
+    cfg.train_batch_size = cfg.valid_batch_size = bsz
+    engine = InterestEngine(cfg, n_users=reader.n_users,
+                            n_items=reader.n_items,
+                            feature_table=np.asarray(store.feat))
+    rng = jax.random.key(SEED, impl=cfg.rng_impl)
+    state = engine.init_state(rng, batches[0])
+    for i in range(warmup):
+        state, loss = engine.train_step(state, rng,
+                                        batches[i % len(batches)])
+        jax.block_until_ready(loss)
+    st = time.time()
+    for i in range(steps):
+        state, loss = engine.train_step(state, rng,
+                                        batches[i % len(batches)])
+        jax.block_until_ready(loss)
+    ours_s = (time.time() - st) / steps
+
+    res = {
+        "tag": "throughput_cpu",
+        "dims": {"d_model": d, "nhead": h, "layers": nl, "batch": bsz,
+                 "rows_per_batch": round(rows, 1)},
+        "reference_s_per_step": round(ref_s, 4),
+        "ours_s_per_step": round(ours_s, 4),
+        "reference_ips": round(rows / ref_s, 1),
+        "ours_ips": round(rows / ours_s, 1),
+        "ours_over_reference": round(ref_s / ours_s, 3),
+        "steps": steps, "warmup": warmup,
+    }
+    print(json.dumps(res, indent=2), flush=True)
+    return res
+
+
 def main():
     global EPOCHS, SEED
     p = argparse.ArgumentParser()
@@ -294,6 +402,19 @@ def main():
     p.add_argument("--epochs", type=int, default=EPOCHS,
                    help="override the training length (smoke: 1)")
     p.add_argument("--seed", type=int, default=SEED)
+    p.add_argument("--throughput", type=int, default=0,
+                   help="instead of the training-run comparison, time the "
+                        "reference torch step vs our jitted step on this "
+                        "CPU (same dims, batches, float32) and report the "
+                        "ips ratio — the measured same-hardware control "
+                        "for bench.py's estimated A100 divisor")
+    p.add_argument("--tp_warmup", type=int, default=3)
+    p.add_argument("--tp_steps", type=int, default=15)
+    p.add_argument("--tp_d_model", type=int, default=0,
+                   help="throughput-mode dim override (default: tool dims)")
+    p.add_argument("--tp_nhead", type=int, default=0)
+    p.add_argument("--tp_layers", type=int, default=0)
+    p.add_argument("--tp_batch", type=int, default=0)
     p.add_argument("--int8_ab", type=int, default=0,
                    help="instead of the reference comparison, A/B OUR run "
                         "with the fp32 vs int8-quantized feature table "
@@ -316,6 +437,16 @@ def main():
     store = build_store(reader, rng)
 
     runs = []
+    if args.throughput:
+        res = run_throughput(reader, store, args.tp_warmup, args.tp_steps,
+                             d_model=args.tp_d_model or None,
+                             heads=args.tp_nhead or None,
+                             layers=args.tp_layers or None,
+                             batch=args.tp_batch or None)
+        with open(args.out, "w") as f:
+            json.dump([res], f, indent=2)
+        print(f"wrote {args.out}")
+        return
     if args.int8_ab:
         print("=== our run (fp32 table) ===", flush=True)
         runs.append(run_ours(reader, store, tag="ours_fp32"))
