@@ -36,12 +36,21 @@ round 1's bench crashed rc=1 on exactly that. The tunnel is now probed in a
 killable subprocess with retry/backoff before any in-process backend touch;
 if it never comes up, a parseable JSON line with an "error" field is printed
 and the exit code is 0.
+
+Driver-window resilience (VERDICT r3 #1 — round 3's record was rc=124): the
+fast flagship + e2e measurements run FIRST; the production-scale leg runs
+LAST under an explicit wall-clock budget (SEGMM_BENCH_BUDGET_S, default
+1500 s) and is skipped with an explicit reason when the remaining budget
+cannot cover it; and the JSON line is emitted from a SIGTERM/SIGINT handler
+as well as the normal path, so even a killed run leaves whatever it measured
+on stdout.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -59,9 +68,39 @@ MEASURE_STEPS = 10
 
 SAMPLE_CSV = "/root/reference/SegMM_inter_sample.csv"
 
-# probe schedule: ~25 min total across wedge-length gaps
+# probe schedule: worst case 3*90s probes + 240s sleeps = 8.5 min
 PROBE_TIMEOUT_S = 90
-PROBE_SLEEPS_S = (0, 60, 120, 240, 300, 300, 300)
+PROBE_SLEEPS_S = (0, 60, 180)
+
+# ---- wall-clock budget (VERDICT r3 #1) -----------------------------------
+BUDGET_S = float(os.environ.get("SEGMM_BENCH_BUDGET_S", "1500"))
+_T0 = time.monotonic()
+
+
+def remaining_s() -> float:
+    return BUDGET_S - (time.monotonic() - _T0)
+
+
+RESULT: dict = {}
+_EMITTED = False
+_CHILD: "subprocess.Popen | None" = None
+
+
+def emit() -> None:
+    """Print the ONE JSON line exactly once (normal exit or signal path)."""
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    print(json.dumps(RESULT), flush=True)
+
+
+def _on_signal(signum, frame):  # noqa: ARG001
+    RESULT.setdefault("interrupted", signal.Signals(signum).name)
+    if _CHILD is not None and _CHILD.poll() is None:
+        _CHILD.kill()
+    emit()
+    os._exit(0)
 
 
 def probe_tpu() -> bool:
@@ -108,11 +147,17 @@ def make_batch(rng, B, n_lines: int = N_LINES):
     }
 
 
-def synthetic_store(reader, rng):
+def synthetic_store(reader, rng, n_lines: int = N_LINES, feat=None):
     """A FeatureStore over a synthetic table whose lineid map covers every
     (video, frame) the sample data can request, so the host assembly path
     (photo gathers, history slicing, warm-up pools, user subsampling) runs
-    exactly as production does."""
+    exactly as production does.
+
+    ``n_lines`` sets the index range of the synthetic lineid map (production:
+    3.9M — the gather indices then exercise the full table); ``feat`` lets
+    the caller substitute the host-side table (e.g. a stub when the real
+    table already lives in HBM — the iterator only ships int32 indices, the
+    host array is never gathered on the train path)."""
     from segmminterest_tpu.data.feature_store import FeatureStore
 
     need: dict = {}
@@ -130,11 +175,15 @@ def synthetic_store(reader, rng):
             need[pid] = max(need.get(pid, 0), fi + 1)
     lineid_map = {}
     line = 0
+    # stride the synthetic lines across the whole table so production-sized
+    # tables see production-spread gather indices, not a dense 100k prefix
+    stride = max(1, n_lines // max(1, sum(need.values())))
     for pid, n in need.items():
         for f in range(n):
-            lineid_map[f"{pid}-{f}"] = line % N_LINES
+            lineid_map[f"{pid}-{f}"] = (line * stride) % n_lines
             line += 1
-    feat = rng.normal(size=(N_LINES, FEAT_DIM)).astype(np.float32)
+    if feat is None:
+        feat = rng.normal(size=(n_lines, FEAT_DIM)).astype(np.float32)
     return FeatureStore(feat, lineid_map)
 
 
@@ -233,21 +282,35 @@ def measure(result: dict, safe: bool = False) -> None:
 
 PRODUCTION_ROWS = 3_920_483   # SegMM segment count (BASELINE.md Table 1)
 
+# minimum remaining budget to even attempt the production leg: on-device
+# table synthesis is seconds, so the cost is compiles (~2-6 min warm remote
+# cache) + measurement + the e2e epochs
+PRODUCTION_MIN_S = float(os.environ.get("SEGMM_BENCH_PRODUCTION_MIN_S", "480"))
+
 
 def measure_production(result: dict) -> None:
-    """Second measured number: the SAME flagship model over a
+    """Production-scale legs: the SAME flagship model over a
     production-sized feature table (3.9M rows — VERDICT r2 #2: the 200k-row
     synthetic config benchmarked as ``value`` is an upper bound the real
     dataset cannot reach). The recorded configuration is the recommended
     production deployment: the int8 + per-row-scale table (--table_quant
     int8, quality-priced neutral over full training runs — PARITY D8)
     halves the bf16 table's 8 GB footprint, which lets the FASTER no-remat
-    step fit at B=1024: 3,169 ips vs 2,714 for the best bf16-table remat
-    config (r3 perf_ab matrix; the full matrix incl. B=512 is in
-    BASELINE.md). Runs in a fresh subprocess (one big engine per process,
-    CLAUDE.md); the child exits before the parent touches the backend.
-    Cold-cache budget: table synthesis ~3 min + ~8 min device_put over the
-    axon tunnel (~8 MB/s) + 10-15 min remote compiles -> timeout 3300 s."""
+    step fit at B=1024 (r3 perf_ab matrix; full matrix in BASELINE.md).
+
+    Runs LAST, in a fresh subprocess (one big engine per process, CLAUDE.md),
+    under the remaining wall-clock budget. The table is synthesized directly
+    in HBM (--table_synth device) — gather timing is value-independent, and
+    this removes the ~3 min host synthesis + ~8.4 min H2D transfer that blew
+    round 3's driver window. --e2e 1 additionally runs the full host
+    pipeline against the production-sized gather index space
+    (production_e2e_ips, VERDICT r3 #4)."""
+    global _CHILD
+    budget = remaining_s() - 30
+    if budget < PRODUCTION_MIN_S:
+        result["production_skipped"] = (
+            f"budget: {budget:.0f}s left < {PRODUCTION_MIN_S:.0f}s floor")
+        return
     out = "/tmp/bench_production.jsonl"
     try:
         os.remove(out)
@@ -259,12 +322,16 @@ def measure_production(result: dict) -> None:
            "--name", "bench_production", "--remat", "0",
            "--fuse_qkv", "1", "--table_quant", "int8",
            "--table_rows", str(PRODUCTION_ROWS),
-           "--table_dtype", "bfloat16", "--out", out]
+           "--table_synth", "device", "--e2e", "1",
+           "--out", out]
     try:
-        r = subprocess.run(cmd, timeout=3300, capture_output=True, text=True)
-        if r.returncode != 0:
-            tail = (r.stderr or "")[-300:]
-            result["production_error"] = f"rc={r.returncode}: {tail}"
+        _CHILD = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                                  stderr=subprocess.PIPE, text=True)
+        _, err = _CHILD.communicate(timeout=budget)
+        rc = _CHILD.returncode
+        _CHILD = None
+        if rc != 0:
+            result["production_error"] = f"rc={rc}: {(err or '')[-300:]}"
             return
         with open(out) as f:
             rec = json.loads(f.readlines()[-1])
@@ -272,35 +339,47 @@ def measure_production(result: dict) -> None:
         result["production_step_ms"] = rec["step_ms"]
         result["production_table_rows"] = PRODUCTION_ROWS
         result["production_table_quant"] = "int8"
+        if "e2e_ips" in rec:
+            result["production_e2e_ips"] = rec["e2e_ips"]
+            result["production_e2e_vs_device"] = rec["e2e_vs_device"]
     except subprocess.TimeoutExpired:
-        result["production_error"] = "timeout after 3300s"
+        if _CHILD is not None:
+            _CHILD.kill()
+            _CHILD = None
+        result["production_error"] = f"timeout after {budget:.0f}s"
     except Exception as e:  # noqa: BLE001 — diagnostic only
         result["production_error"] = f"{type(e).__name__}: {e}"
 
 
 def main():
-    result = {
+    RESULT.update({
         "metric": "interactions_per_sec",
         "value": 0.0,
         "unit": "interactions/s",
         "vs_baseline": 0.0,
-    }
+    })
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
     platforms = os.environ.get("JAX_PLATFORMS", "axon")
     if "axon" in platforms and not probe_tpu():
-        result["error"] = (
+        RESULT["error"] = (
             "axon TPU tunnel unavailable after "
             f"{len(PROBE_SLEEPS_S)} probes over "
             f"{sum(PROBE_SLEEPS_S) + len(PROBE_SLEEPS_S) * PROBE_TIMEOUT_S}s")
-        print(json.dumps(result))
+        emit()
         return
-    if not os.environ.get("SEGMM_BENCH_SKIP_PRODUCTION"):
-        measure_production(result)
+    # fast flagship + e2e first: these ARE the headline record (VERDICT r3 #1)
     try:
-        measure(result)
+        measure(RESULT)
     except Exception as e:  # noqa: BLE001 — fall back, never crash the record
-        result["fallback"] = f"aggressive config failed ({type(e).__name__}); "                              "re-ran with layer remat + separate projections"
-        measure(result, safe=True)
-    print(json.dumps(result))
+        RESULT["fallback"] = (
+            f"aggressive config failed ({type(e).__name__}); "
+            "re-ran with layer remat + separate projections")
+        measure(RESULT, safe=True)
+    # production-scale legs last, under the remaining budget
+    if not os.environ.get("SEGMM_BENCH_SKIP_PRODUCTION"):
+        measure_production(RESULT)
+    emit()
 
 
 if __name__ == "__main__":

@@ -91,14 +91,20 @@ def table_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(MODEL_AXIS, None))
 
 
-def pad_table_rows(table: np.ndarray, mesh: Mesh) -> np.ndarray:
-    """Zero-pad rows so the table divides evenly over the model axis."""
+def pad_table_rows(table, mesh: Mesh):
+    """Zero-pad rows so the table divides evenly over the model axis.
+
+    Accepts a host array or a device-resident jax.Array (the pad then runs
+    on device instead of round-tripping 4-8 GB through the host)."""
     m = model_axis_size(mesh)
     n = table.shape[0]
     pad = (-n) % m
     if pad:
-        table = np.concatenate(
-            [table, np.zeros((pad,) + table.shape[1:], table.dtype)])
+        if isinstance(table, jax.Array) and not isinstance(table, np.ndarray):
+            table = jnp.pad(table, ((0, pad),) + ((0, 0),) * (table.ndim - 1))
+        else:
+            table = np.concatenate(
+                [table, np.zeros((pad,) + table.shape[1:], table.dtype)])
     return table
 
 

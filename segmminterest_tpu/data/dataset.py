@@ -121,44 +121,68 @@ class BatchIterator:
         # collapse into one vectorized index per batch. Only the per-epoch
         # random subsample of oversized pools stays per-row.
         self._photo_tab: Optional[np.ndarray] = None
-        self._pool_concat: Optional[np.ndarray] = None
-        self._pool_off: Optional[np.ndarray] = None
-        # stored candidate pools are capped at pool_cap per row (one uniform
-        # subsample at build time); per-batch draws then subsample within the
-        # cap. Marginal inclusion probabilities match the reference's direct
-        # user_max-of-pool draw; only cross-visit correlation differs
-        # (PARITY D7 — priced by tools/task1_ref_parity.py). Keeps resident
-        # pool memory ~pool_cap*4B per row instead of the full unbounded pool
-        # (the production history pools average several hundred ids per row).
-        # pool_cap=None => 4*user_max default; 0 => unlimited (exact
-        # reference pool semantics).
-        if pool_cap is None:
-            self.pool_cap = 4 * self.user_max
-        elif pool_cap <= 0:
-            self.pool_cap = np.iinfo(np.int64).max
-        else:
-            self.pool_cap = pool_cap
+        # Per-USER played-segment streams: the reference pool for a row is
+        # the played line ids of the history window [pos-history_max, pos)
+        # plus the warm-up pool (dataloader_SegMM.py:319-350). The window is
+        # contiguous in the user's chronological history, so every row's
+        # pool is a SLICE of one per-user concatenated stream plus the
+        # warm-up suffix — EXACT reference pool semantics in
+        # O(total played segments) memory, built in one pass per user.
+        # (Round 3's per-row capped pools traded a quality drift for memory
+        # — PARITY D7; this layout removes the trade entirely, and
+        # ``pool_cap`` is now accepted-and-ignored for compatibility.)
+        self._user_streams: Optional[Dict[int, tuple]] = None
+        self._pool_a: Optional[np.ndarray] = None
+        self._pool_b: Optional[np.ndarray] = None
+        del pool_cap  # deprecated: exact pools need no cap
 
     def _build_row_tables(self):
         t = self.table
         n = len(t)
         self._photo_tab = np.full((n, MAX_SEGMENTS), -1, np.int32)
-        pools = []
-        off = np.zeros(n + 1, np.int64)
         for r in range(n):
             n_frames = int((t.labels[r] != -2).sum())
             pl = self.store.photo_line_ids(int(t.video_raw[r]), n_frames)
             self._photo_tab[r, :len(pl)] = pl
-            pool = self._user_lines_pool(int(t.user_raw[r]),
-                                         int(t.position[r]))
-            if len(pool) > self.pool_cap:
-                pool = pool[self.rng.choice(len(pool), self.pool_cap,
-                                            replace=False)]
-            pools.append(pool)
-            off[r + 1] = off[r] + len(pool)
-        self._pool_concat = (np.concatenate(pools) if pools
-                             else np.zeros(0, np.int32))
-        self._pool_off = off
+        hm = self.reader.history_max
+        streams: Dict[int, tuple] = {}
+        for uid in np.unique(t.user_raw):
+            uid = int(uid)
+            items = self.reader.user_his_items.get(uid)
+            if items is None:
+                streams[uid] = (np.zeros(0, np.int32),
+                                np.zeros(1, np.int64))
+                continue
+            playing = self.reader.user_his_playing[uid]
+            chunks = [self.store.played_line_ids(pid, pt)
+                      for pid, pt in zip(items, playing)]
+            off = np.zeros(len(items) + 1, np.int64)
+            if chunks:
+                np.cumsum([len(c) for c in chunks], out=off[1:])
+            stream = (np.concatenate(chunks).astype(np.int32) if chunks
+                      else np.zeros(0, np.int32))
+            streams[uid] = (stream, off)
+        self._user_streams = streams
+        self._pool_a = np.zeros(n, np.int64)
+        self._pool_b = np.zeros(n, np.int64)
+        for r in range(n):
+            _, off = streams[int(t.user_raw[r])]
+            pos = min(int(t.position[r]), len(off) - 1)
+            lo = max(0, pos - hm)
+            self._pool_a[r] = off[lo]
+            self._pool_b[r] = off[pos]
+
+    def row_pool(self, r: int) -> np.ndarray:
+        """The exact (pre-draw) candidate pool of table row ``r``: history
+        window played lines then warm-up lines, reference order
+        (dataloader_SegMM.py:319-341). Draws in ``_assemble`` subsample this
+        without materializing it."""
+        if self._photo_tab is None:
+            self._build_row_tables()
+        uid = int(self.table.user_raw[r])
+        stream, _ = self._user_streams[uid]
+        a, b = int(self._pool_a[r]), int(self._pool_b[r])
+        return np.concatenate([stream[a:b], self._warmup_lines(uid)])
 
     def __len__(self) -> int:
         n = len(self.table)
@@ -176,7 +200,10 @@ class BatchIterator:
     def _user_lines_pool(self, uid: int, position: int) -> np.ndarray:
         """Candidate pool = played segments of the (truncated) history plus
         the warm-up pool (dataloader_SegMM.py:319-350); the random
-        subsample to user_max happens per batch in _assemble."""
+        subsample to user_max happens per batch in _assemble.
+
+        Direct per-row derivation — kept as the test oracle for the
+        per-user-stream layout (``row_pool`` must match it row for row)."""
         items, playing = self.reader.history_slice(uid, position)
         chunks = [self.store.played_line_ids(pid, pt)
                   for pid, pt in zip(items, playing)]
@@ -227,15 +254,32 @@ class BatchIterator:
             photo_lines[:n_real] = self._photo_tab[idx]
             user_lines = np.full((B, self.user_max), -1, np.int32)
             user_mask = np.zeros((B, self.user_max), bool)
-            off, concat = self._pool_off, self._pool_concat
-            lens = (off[idx + 1] - off[idx]).astype(np.int64)
             for bi, ri in enumerate(idx):
-                pool = concat[off[ri]:off[ri + 1]]
-                if lens[bi] > self.user_max:
-                    pool = pool[self.rng.choice(lens[bi], self.user_max,
-                                                replace=False)]
-                m = len(pool)
-                user_lines[bi, :m] = pool
+                uid = int(t.user_raw[ri])
+                stream, _ = self._user_streams[uid]
+                a, b = int(self._pool_a[ri]), int(self._pool_b[ri])
+                warm = self._warmup_lines(uid)
+                nh, nw = b - a, len(warm)
+                L = nh + nw
+                if L > self.user_max:
+                    # random.sample-style draw (dataloader_SegMM.py:347):
+                    # unsorted indices into the virtual [history|warmup]
+                    # concat; mapped without materializing the pool
+                    pick = self.rng.choice(L, self.user_max, replace=False)
+                    if nh == 0:
+                        sel = warm[pick]
+                    elif nw == 0:
+                        sel = stream[a + pick]
+                    else:
+                        sel = np.where(
+                            pick < nh,
+                            stream[a + np.minimum(pick, nh - 1)],
+                            warm[np.maximum(pick - nh, 0)])
+                    m = self.user_max
+                else:
+                    sel = np.concatenate([stream[a:b], warm])
+                    m = L
+                user_lines[bi, :m] = sel
                 user_mask[bi, :m] = True
             batch["photo_lines"] = photo_lines
             batch["user_lines"] = user_lines

@@ -80,7 +80,8 @@ class InterestEngine:
             remat_scope=config.remat_scope,
             fused_attention=config.fused_attention,
             fuse_projections=config.fuse_projections,
-            fuse_qkv=config.fuse_qkv, fuse_layer=config.fuse_layer)
+            fuse_qkv=config.fuse_qkv, fuse_dual=config.fuse_dual,
+            fuse_layer=config.fuse_layer)
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(config.grad_clip_norm),
             optax.adamw(config.learning_rate,
@@ -100,6 +101,14 @@ class InterestEngine:
                              and self.feature_mode)
         if self.feature_mode:
             scale = None
+
+            def _on_device(x):
+                # a committed jax.Array (e.g. synthesized directly in HBM —
+                # tools/perf_ab.py --table_synth device) is used as-is; the
+                # device_put below only (re)applies the sharding, no H2D copy
+                return isinstance(x, jax.Array) and not isinstance(
+                    x, np.ndarray)
+
             if self._table_quant:
                 # int8 + per-row scale halves the HBM-resident table vs
                 # bf16 (PARITY D8); the L1 normalization below makes the
@@ -108,8 +117,9 @@ class InterestEngine:
                 # so callers can quantize chunk-wise at build time instead
                 # of materializing the full float table (tools/perf_ab.py).
                 if isinstance(feature_table, tuple):
-                    table, scale = (np.asarray(feature_table[0]),
-                                    np.asarray(feature_table[1]))
+                    table, scale = feature_table
+                    if not (_on_device(table) and _on_device(scale)):
+                        table, scale = np.asarray(table), np.asarray(scale)
                     if table.dtype != np.int8 or scale.dtype != np.float32:
                         raise ValueError(
                             "pre-quantized feature_table must be "
@@ -119,7 +129,8 @@ class InterestEngine:
                     table, scale = quantize_table_int8(
                         np.asarray(feature_table))
             else:
-                table = np.asarray(feature_table)
+                table = (feature_table if _on_device(feature_table)
+                         else np.asarray(feature_table))
                 if (config.compute_dtype == "bfloat16"
                         and table.dtype != jnp.bfloat16):
                     table = table.astype(jnp.bfloat16)

@@ -95,6 +95,10 @@ class InterestConfig:
     # run the QKV projections inside the attention kernel (q/k/v and their
     # grads never touch HBM); parameter tree unchanged
     fuse_qkv: bool = False
+    # merge both per-layer stream calls into ONE Pallas invocation
+    # (core/dual_kernel.py): half the invocations of fuse_qkv, epilogue
+    # matmuls stay in XLA; parameter tree unchanged
+    fuse_dual: bool = False
     # run each WHOLE encoder-layer stream (attention + out-proj + LN
     # residual + GELU MLP + LN residual) in one Pallas kernel with
     # flash-style backward recompute (core/layer_kernel.py): the per-layer
@@ -112,10 +116,11 @@ class InterestConfig:
     # on TPU for the large attention-logit dropout masks
     rng_impl: str = "rbg"
     n_devices: Optional[int] = None  # None => all visible
-    # candidate-pool cap for the user-history subsample (data/dataset.py):
-    # None => the default 4*user_max cap (marginal probabilities match the
-    # reference; only cross-visit correlation differs, PARITY D7); 0 =>
-    # unlimited, i.e. the reference's exact direct-draw pool semantics
+    # DEPRECATED, ignored (round 4): candidate pools are stored as per-user
+    # played-segment streams + per-row slice bounds, which gives the
+    # reference's exact direct-draw pool semantics in O(total played
+    # segments) memory — no cap needed (PARITY D7 closed). Kept so existing
+    # configs/CLI invocations keep parsing.
     pool_cap: Optional[int] = None
 
     @property

@@ -251,3 +251,49 @@ def test_batch_iterator_epochs_and_transform(sample_reader):
                            batches[per_epoch:]])
     assert not np.array_equal(ids0, ids1)
     assert sorted(ids0.tolist()) == sorted(ids1.tolist())
+
+
+def test_user_pool_streams_match_direct_derivation(sample_reader):
+    """The per-user-stream pool layout (round 4, PARITY D7 closed) must
+    reproduce the direct per-row pool derivation exactly: history-window
+    played lines then warm-up lines (dataloader_SegMM.py:319-341), and the
+    per-batch draw must emit exactly that pool (small rows) or a user_max
+    subset of it (large rows)."""
+    import bench
+    from segmminterest_tpu.data.dataset import BatchIterator
+
+    rng = np.random.default_rng(5)
+    store = bench.synthetic_store(sample_reader, rng, n_lines=4096)
+    t = sample_reader.tables["train"]
+    it = BatchIterator(sample_reader, t, 64, shuffle=False,
+                       feature_store=store, seed=11, prefetch_size=0)
+    # exact pool content, every row
+    for r in range(len(t)):
+        expect = it._user_lines_pool(int(t.user_raw[r]), int(t.position[r]))
+        got = it.row_pool(r)
+        np.testing.assert_array_equal(got, expect)
+    # draw semantics per batch row
+    saw_large = saw_small = False
+    for start in range(0, min(len(t), 256), 64):
+        idx = np.arange(start, min(start + 64, len(t)))
+        batch = it._assemble(idx)
+        for bi, ri in enumerate(idx):
+            pool = it.row_pool(int(ri))
+            m = int(batch["user_mask"][bi].sum())
+            lines = batch["user_lines"][bi, :m]
+            assert (batch["user_lines"][bi, m:] == -1).all()
+            if len(pool) > it.user_max:
+                saw_large = True
+                assert m == it.user_max
+                # multiset inclusion: every drawn line exists in the pool
+                # with at least the drawn multiplicity
+                pv, pc = np.unique(pool, return_counts=True)
+                lv, lc = np.unique(lines, return_counts=True)
+                pos = np.searchsorted(pv, lv)
+                assert (pv[pos] == lv).all()
+                assert (lc <= pc[pos]).all()
+            else:
+                saw_small = True
+                np.testing.assert_array_equal(lines, pool)
+    assert saw_small  # the sample data must exercise both branches
+    assert saw_large

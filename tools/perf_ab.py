@@ -40,6 +40,9 @@ def main():
     p.add_argument("--fused_attention", type=int, default=1)
     p.add_argument("--fuse_projections", type=int, default=0)
     p.add_argument("--fuse_qkv", type=int, default=0)
+    p.add_argument("--fuse_dual", type=int, default=0,
+                   help="both stream calls in ONE kernel invocation "
+                        "(core/dual_kernel.py)")
     p.add_argument("--fuse_layer", type=int, default=0)
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--eval_only", type=int, default=0)
@@ -59,6 +62,19 @@ def main():
                    choices=["none", "int8"],
                    help="int8 + per-row-scale HBM table (half the bf16 "
                         "footprint; dequant on gather)")
+    p.add_argument("--table_synth", default="host",
+                   choices=["host", "device"],
+                   help="device: synthesize the table directly in HBM with "
+                        "jax.random — skips host synthesis AND the H2D "
+                        "transfer (~8.4 min for the 4 GB int8 production "
+                        "table over the ~8 MB/s axon tunnel); gather/step "
+                        "timing is value-independent")
+    p.add_argument("--e2e", type=int, default=0,
+                   help="also measure the full host pipeline (SeqReader -> "
+                        "BatchIterator(transform=batch_transform) -> step) "
+                        "against THIS table size: sample CSV rows, "
+                        "production-scale gather indices (VERDICT r3 #4)")
+    p.add_argument("--e2e_epochs", type=int, default=3)
     p.add_argument("--profile_dir", default="")
     p.add_argument("--cost_analysis", type=int, default=0,
                    help="print XLA's compiled cost analysis (flops/bytes) "
@@ -82,20 +98,40 @@ def main():
         remat=bool(args.remat), remat_scope=args.remat_scope,
         fused_attention=bool(args.fused_attention),
         fuse_projections=bool(args.fuse_projections),
-        fuse_qkv=bool(args.fuse_qkv), fuse_layer=bool(args.fuse_layer),
+        fuse_qkv=bool(args.fuse_qkv), fuse_dual=bool(args.fuse_dual),
+        fuse_layer=bool(args.fuse_layer),
         table_quant=args.table_quant)
 
     import jax.numpy as jnp
     rng = np.random.default_rng(0)
-    # Synthesize the table from ONE random chunk tiled to size: gather/step
-    # timing is value-independent, and a fresh draw + ml_dtypes bf16 cast
-    # per chunk costs ~30 min of host CPU at production row counts (the
-    # round-3 int8 measurement lost a whole 2400 s budget to it).
-    chunk_rows = min(262_144, args.table_rows)
-    chunk = rng.standard_normal((chunk_rows, FEAT_DIM), dtype=np.float32)
-    if args.table_quant == "int8":
-        # pre-quantized chunk-wise (engine accepts the (int8, scale) pair):
-        # never materializes the float table at all
+    trace = lambda msg: print(f"[perf_ab +{time.perf_counter() - T0:.0f}s] "
+                              f"{msg}", file=sys.stderr, flush=True)
+    if args.table_synth == "device":
+        # synthesize straight into HBM: no host RAM, no tunnel transfer
+        k0, k1 = jax.random.split(jax.random.PRNGKey(0))
+        if args.table_quant == "int8":
+            q = jax.random.randint(k0, (args.table_rows, FEAT_DIM),
+                                   -127, 128, dtype=jnp.int8)
+            s = jax.random.uniform(k1, (args.table_rows, 1), jnp.float32,
+                                   1e-3, 2e-2)
+            feat_table = (q, s)
+            jax.block_until_ready(q)
+        else:
+            dt = (jnp.bfloat16 if args.table_dtype == "bfloat16"
+                  else jnp.float32)
+            feat_table = jax.random.normal(
+                k0, (args.table_rows, FEAT_DIM), dt)
+            jax.block_until_ready(feat_table)
+        trace("table synthesized on device")
+    elif args.table_quant == "int8":
+        # Synthesize the table from ONE random chunk tiled to size:
+        # gather/step timing is value-independent, and a fresh draw +
+        # ml_dtypes bf16 cast per chunk costs ~30 min of host CPU at
+        # production row counts (the round-3 int8 measurement lost a whole
+        # 2400 s budget to it). Pre-quantized chunk-wise (engine accepts
+        # the (int8, scale) pair): never materializes the float table.
+        chunk_rows = min(262_144, args.table_rows)
+        chunk = rng.standard_normal((chunk_rows, FEAT_DIM), dtype=np.float32)
         from segmminterest_tpu.core.numerics import quantize_table_int8
         qc, sc = quantize_table_int8(chunk)
         q = np.empty((args.table_rows, FEAT_DIM), np.int8)
@@ -105,16 +141,17 @@ def main():
             q[start:stop] = qc[:stop - start]
             s[start:stop] = sc[:stop - start]
         feat_table = (q, s)
+        trace("host table built")
     else:
+        chunk_rows = min(262_144, args.table_rows)
+        chunk = rng.standard_normal((chunk_rows, FEAT_DIM), dtype=np.float32)
         dt = jnp.bfloat16 if args.table_dtype == "bfloat16" else np.float32
         chunk = chunk.astype(dt)
         feat_table = np.empty((args.table_rows, FEAT_DIM), dt)
         for start in range(0, args.table_rows, chunk_rows):
             stop = min(start + chunk_rows, args.table_rows)
             feat_table[start:stop] = chunk[:stop - start]
-    trace = lambda msg: print(f"[perf_ab +{time.perf_counter() - T0:.0f}s] "
-                              f"{msg}", file=sys.stderr, flush=True)
-    trace("host table built")
+        trace("host table built")
     engine = InterestEngine(cfg, n_users=1903, n_items=352494,
                             feature_table=feat_table)
     trace("table resident on device")
@@ -149,6 +186,54 @@ def main():
         jax.profiler.stop_trace()
 
     ips = args.batch * args.steps / elapsed
+    trace(f"device path measured: {ips:.1f} ips")
+
+    e2e = {}
+    if args.e2e:
+        # Full host pipeline at THIS table scale (VERDICT r3 #4): sample CSV
+        # rows, lineid map spread over the full table, producer-thread
+        # device_put (engine.batch_transform), cross-epoch streaming.
+        from bench import SAMPLE_CSV, synthetic_store
+        from segmminterest_tpu.data.dataset import BatchIterator
+        from segmminterest_tpu.data.reader import SeqReader
+        if not os.path.exists(SAMPLE_CSV):
+            e2e = {"e2e_error": "sample csv unavailable"}
+        else:
+            reader = SeqReader.from_single_csv(
+                SAMPLE_CSV, min_interactions=30, num_warmup=10)
+            store = synthetic_store(
+                reader, rng, n_lines=args.table_rows,
+                feat=np.zeros((1, FEAT_DIM), np.float32))
+            it = BatchIterator(reader, reader.tables["train"], args.batch,
+                               shuffle=True, feature_store=store, seed=7,
+                               prefetch_size=2,
+                               transform=engine.batch_transform)
+
+            def run_epochs(state, key, n_epochs):
+                n = 0
+                loss = None
+                for batch in it.epochs(n_epochs):
+                    key, k = jax.random.split(key)
+                    state, loss_dict = engine.train_step(state, k, batch)
+                    n += int(batch["row_mask"].sum())
+                    loss = loss_dict["loss"]
+                jax.block_until_ready(loss)
+                return state, key, n
+
+            state, key, _ = run_epochs(state, key, 1)  # warm + compile
+            trace("e2e warm epoch done")
+            st = time.perf_counter()
+            state, key, n_total = run_epochs(state, key, args.e2e_epochs)
+            e2e_elapsed = time.perf_counter() - st
+            e2e_ips = n_total / e2e_elapsed
+            n_rows = len(reader.tables["train"])
+            fill = n_rows / (-(-n_rows // args.batch) * args.batch)
+            e2e = {"e2e_ips": round(e2e_ips, 1),
+                   "e2e_vs_device": round(e2e_ips / ips, 3),
+                   "e2e_fill_fraction": round(fill, 4),
+                   "e2e_vs_device_slotwise": round(e2e_ips / fill / ips, 3)}
+            trace(f"e2e measured: {e2e_ips:.1f} ips")
+
     cost = {}
     if args.cost_analysis:
         try:
@@ -169,10 +254,12 @@ def main():
            "remat_scope": args.remat_scope,
            "fused_attention": args.fused_attention,
            "fuse_projections": args.fuse_projections,
-           "fuse_qkv": args.fuse_qkv, "fuse_layer": args.fuse_layer,
+           "fuse_qkv": args.fuse_qkv, "fuse_dual": args.fuse_dual,
+           "fuse_layer": args.fuse_layer,
            "table_quant": args.table_quant,
+           "table_rows": args.table_rows, "table_synth": args.table_synth,
            "eval_only": args.eval_only, "dtype": args.compute_dtype,
-           **cost}
+           **e2e, **cost}
     line = json.dumps(rec)
     print(line)
     with open(args.out, "a") as f:

@@ -15,7 +15,6 @@ A third run prices PARITY D7 (the pool-cap deviation): ours with the
 candidate-pool cap lifted vs the default 4x cap.
 
   python tools/task1_ref_parity.py --out /tmp/task1_parity.json
-  python tools/task1_ref_parity.py --skip_pool_cap 1   # faster
 
 Wall-clock: ~15-25 min on the 1-CPU box (three training runs to
 convergence at tiny dims).
@@ -338,7 +337,11 @@ def run_throughput(reader, store, warmup, steps, d_model=None, heads=None,
     to_torch = make_to_torch(store.feat)
 
     torch_batches = [to_torch(b) for b in batches]
-    rows = float(np.mean([int(b["row_mask"].sum()) for b in batches]))
+    # mean row count over the batch indices the timed loops actually use
+    # (both sides cycle batches[i % len(batches)] for `steps` iterations),
+    # not over the whole epoch — ADVICE r3
+    rows = float(np.mean([int(batches[i % len(batches)]["row_mask"].sum())
+                          for i in range(steps)]))
 
     def ref_step(t):
         opt.zero_grad()
@@ -398,7 +401,7 @@ def main():
     global EPOCHS, SEED
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="/tmp/task1_parity.json")
-    p.add_argument("--skip_pool_cap", type=int, default=0)
+    # --skip_pool_cap removed (round 4): pools are always exact (PARITY D7)
     p.add_argument("--epochs", type=int, default=EPOCHS,
                    help="override the training length (smoke: 1)")
     p.add_argument("--seed", type=int, default=SEED)
@@ -469,14 +472,13 @@ def main():
     print("=== reference torch run ===", flush=True)
     runs.append(run_reference(reader, store))
     print(json.dumps(runs[-1]["test"], indent=2), flush=True)
-    print("=== our run (default pool cap) ===", flush=True)
-    runs.append(run_ours(reader, store, tag="ours_capped"))
+    print("=== our run (exact reference pools, PARITY D7 closed) ===",
+          flush=True)
+    runs.append(run_ours(reader, store, tag="ours"))
     print(json.dumps(runs[-1]["test"], indent=2), flush=True)
-    if not args.skip_pool_cap:
-        print("=== our run (pool cap lifted, PARITY D7 pricing) ===",
-              flush=True)
-        runs.append(run_ours(reader, store, pool_cap=0, tag="ours_uncapped"))
-        print(json.dumps(runs[-1]["test"], indent=2), flush=True)
+    # round 4: pool_cap is deprecated/ignored — the per-user-stream pool
+    # layout always gives exact reference pool semantics, so the former
+    # capped/uncapped A/B arms collapsed into the single run above
 
     with open(args.out, "w") as f:
         json.dump(runs, f, indent=2)
