@@ -398,14 +398,17 @@ def _joint_probs(l1, l2, pair1, pair2, scale, dropout_rate, deterministic,
 
 def _attn_group_fwd(sq1, sq2, sk1, sk2, sv1, sv2, satt, pair1, pair2, *,
                     num_heads, qk_dim, v_dim, scale, dropout_rate,
-                    deterministic, interpret, seed_val):
+                    deterministic, interpret, seed_val, head_offset=0):
     """Head-group fori_loop of the two-block joint-softmax attention
     FORWARD: dynamic lane-dim slices must be 128-aligned on TPU, so the
     loop walks groups of 128/qk_dim heads (SEGMM_ATTN_HPG widens the slab)
     and unrolls statically inside each group (a full unroll over all heads
     wedges the Mosaic compiler). Writes the per-head outputs into the
-    ``satt`` ref. Shared by _fp_fwd_kernel here and
-    layer_kernel._fl_{fwd,bwd}_kernel."""
+    ``satt`` ref. Shared by _fp_fwd_kernel here,
+    layer_kernel._fl_{fwd,bwd}_kernel, and dual_kernel (which passes
+    ``head_offset`` so the second stream's interpret-mode dropout salts
+    don't collide with the first's; the TPU PRNG stream is ordered by draw
+    sequence and needs no offset)."""
     hpg = _head_group_size(num_heads, qk_dim, v_dim)
 
     def group_body(g, _):
@@ -425,7 +428,7 @@ def _attn_group_fwd(sq1, sq2, sk1, sk2, sv1, sv2, satt, pair1, pair2, *,
                                      preferred_element_type=jnp.float32)
             p1, p2, _, _ = _joint_probs(
                 l1, l2, pair1, pair2, scale, dropout_rate, deterministic,
-                interpret, seed_val, g * hpg + j)
+                interpret, seed_val, head_offset + g * hpg + j)
             av = (((2,), (1,)), ((0,), (0,)))
             v1_h = v1g[:, :, sl_v]
             v2_h = v2g[:, :, sl_v]
@@ -445,7 +448,7 @@ def _attn_group_fwd(sq1, sq2, sk1, sk2, sv1, sv2, satt, pair1, pair2, *,
 def _attn_group_bwd(pq1, pq2, pk1, pk2, pv1, pv2, g_ref,
                     oq1, oq2, ok1, ok2, ov1, ov2, pair1, pair2, *,
                     num_heads, qk_dim, v_dim, scale, dropout_rate,
-                    deterministic, interpret, seed_val):
+                    deterministic, interpret, seed_val, head_offset=0):
     """Head-group fori_loop of the two-block joint-softmax attention
     BACKWARD: replays the forward probabilities (same PRNG draw order as
     the forward head loops — on the TPU stream the caller must re-seed
@@ -477,7 +480,7 @@ def _attn_group_bwd(pq1, pq2, pk1, pk2, pv1, pv2, g_ref,
                                      preferred_element_type=jnp.float32)
             p1, p2, keep1, keep2 = _joint_probs(
                 l1, l2, pair1, pair2, scale, dropout_rate, deterministic,
-                interpret, seed_val, g * hpg + j)
+                interpret, seed_val, head_offset + g * hpg + j)
             pt = (((1,), (1,)), ((0,), (0,)))
             acc["dv1"].append(jax.lax.dot_general(
                 p1, g_h, pt, preferred_element_type=jnp.float32))

@@ -93,6 +93,7 @@ class SegInterestModel(nn.Module):
     interpret: bool = False
     fuse_projections: bool = False
     fuse_qkv: bool = False
+    fuse_dual: bool = False
     fuse_layer: bool = False
 
     def setup(self):
@@ -114,7 +115,8 @@ class SegInterestModel(nn.Module):
                 fused_attention=self.fused_attention,
                 interpret=self.interpret,
                 fuse_projections=self.fuse_projections,
-                fuse_qkv=self.fuse_qkv, fuse_layer=self.fuse_layer,
+                fuse_qkv=self.fuse_qkv, fuse_dual=self.fuse_dual,
+                fuse_layer=self.fuse_layer,
                 name=name)
 
         self.backbone1 = make_backbone(u1_id, u1_len, v1_id, "backbone1")

@@ -174,6 +174,12 @@ class FourStreamAttention(nn.Module):
     # dq/dk/dv never materialize in HBM (the memory-bound step's largest
     # traffic term). Parameter tree identical to the unfused path.
     fuse_qkv: bool = False
+    # merge BOTH per-layer stream calls into ONE Pallas invocation
+    # (core/dual_kernel.py): half the invocations of fuse_qkv, epilogue
+    # matmuls stay in XLA (unlike fuse_layer). Implies fuse_qkv semantics;
+    # parameter tree identical. Degenerate single-query streams fall back
+    # to the two-call path (which routes them to XLA, version=0).
+    fuse_dual: bool = False
     # conv down-sampling of the VIDEO K/V source (encoder.py:23-31,84-93):
     # Conv1d(d, d, kernel=sr, stride=sr, pad=(sr-1)//2) over the sequence,
     # mask via MaxPool1d(sr, sr). Disabled (1) in every published run
@@ -221,9 +227,9 @@ class FourStreamAttention(nn.Module):
 
         ours_path = ("CrossAtt" not in self.ablation
                      and "SelfAtt" not in self.ablation)
-        if self.fused and self.fuse_qkv and ours_path:
+        if (self.fused and (self.fuse_qkv or self.fuse_dual) and ours_path):
             # dispatch BEFORE the nn.Dense projections exist — the fused-QKV
-            # path declares the same parameter names itself
+            # paths declare the same parameter names themselves
             return self._fused_qkv_forward(vid_feat, vid_mask, usr_feat,
                                            usr_mask, drop, deterministic)
 
@@ -357,12 +363,28 @@ class FourStreamAttention(nn.Module):
         # vid stream: block1 = v2v (q,k,v of vid), block2 = t2v (q of vid,
         # k/v of usr); usr stream: block1 = v2t (q of usr, k/v of vid),
         # block2 = t2t (q,k,v of usr) — same wiring as _fused_forward
-        vid_out = call(vid_feat, vid_feat, usr_feat,
-                       v2v[0], t2v[0], v2v[1], t2v[1], v2v[2], t2v[2],
-                       vid_mask, vid_mask, usr_mask, 0)
-        usr_out = call(usr_feat, vid_feat, usr_feat,
-                       v2t[0], t2t[0], v2t[1], t2t[1], v2t[2], t2t[2],
-                       usr_mask, vid_mask, usr_mask, 1)
+        dual = (self.fuse_dual
+                and vid_feat.shape[1] > 1 and usr_feat.shape[1] > 1)
+        if dual:
+            # both streams in ONE kernel invocation (core/dual_kernel.py);
+            # one PRNG seed covers both streams' draws
+            from ..core.dual_kernel import fused_dual_stream_attention
+            qkv = lambda pq1, pq2, pk1, pk2, pv1, pv2: tuple(
+                cast(p) for p in (pq1, pq2, pk1, pk2, pv1, pv2))
+            vid_out, usr_out = fused_dual_stream_attention(
+                vid_feat, usr_feat,
+                qkv(v2v[0], t2v[0], v2v[1], t2v[1], v2v[2], t2v[2]),
+                qkv(v2t[0], t2t[0], v2t[1], t2t[1], v2t[2], t2t[2]),
+                vid_mask, usr_mask, num_heads=self.num_heads,
+                dropout_rate=rate, seed=seed[0], deterministic=deterministic,
+                interpret=self.interpret, scale=scale)
+        else:
+            vid_out = call(vid_feat, vid_feat, usr_feat,
+                           v2v[0], t2v[0], v2v[1], t2v[1], v2v[2], t2v[2],
+                           vid_mask, vid_mask, usr_mask, 0)
+            usr_out = call(usr_feat, vid_feat, usr_feat,
+                           v2t[0], t2t[0], v2t[1], t2t[1], v2t[2], t2t[2],
+                           usr_mask, vid_mask, usr_mask, 1)
 
         usr_out = drop(nn.Dense(d, kernel_init=DENSE_INIT, dtype=self.dtype,
                                 name="ff_usr")(usr_out),
@@ -472,6 +494,8 @@ class SegFormerXLayer(nn.Module):
     interpret: bool = False
     fuse_projections: bool = False
     fuse_qkv: bool = False
+    # both stream calls in ONE kernel invocation (core/dual_kernel.py)
+    fuse_dual: bool = False
     sr_ratio: int = 1
     # 'attention' remat scope: recompute only the projections+attention block
     # on backward (its 12 projection outputs dominate live activations; the
@@ -501,7 +525,8 @@ class SegFormerXLayer(nn.Module):
             dropout=self.dropout, ablation=self.ablation, dtype=self.dtype,
             fused=self.fused, interpret=self.interpret,
             fuse_projections=self.fuse_projections,
-            fuse_qkv=self.fuse_qkv, sr_ratio=self.sr_ratio,
+            fuse_qkv=self.fuse_qkv, fuse_dual=self.fuse_dual,
+            sr_ratio=self.sr_ratio,
             name="cross_attn")
         if self.remat_attention:
             vid_feat, usr_feat = attn(vid_feat, vid_mask, usr_feat, usr_mask,
@@ -640,6 +665,8 @@ class SegFormerX(nn.Module):
     fuse_projections: bool = False
     # QKV projections inside the attention kernel (see FourStreamAttention)
     fuse_qkv: bool = False
+    # both stream calls in ONE kernel invocation (see FourStreamAttention)
+    fuse_dual: bool = False
     # whole layer (attention + FFN epilogue) in one Pallas kernel per stream
     # with flash-style backward recompute (see SegFormerXLayer.fuse_layer);
     # supersedes fused_attention/fuse_qkv on the 'ours' path
@@ -811,7 +838,8 @@ class SegFormerX(nn.Module):
                 dtype=self.dtype, fused=self.fused_attention,
                 interpret=self.interpret,
                 fuse_projections=self.fuse_projections,
-                fuse_qkv=self.fuse_qkv, fuse_layer=self.fuse_layer,
+                fuse_qkv=self.fuse_qkv, fuse_dual=self.fuse_dual,
+                fuse_layer=self.fuse_layer,
                 sr_ratio=sr_lvls[i],
                 remat_attention=(self.remat
                                  and self.remat_scope == "attention"),
