@@ -34,13 +34,16 @@ def main():
     p.add_argument("--name", required=True)
     p.add_argument("--which", default="proj",
                    choices=["proj", "twoblock", "xla", "layer",
-                            "layer_xla"],
+                            "layer_xla", "dual"],
                    help="proj: projection-fused Pallas kernel; twoblock: "
                         "attention-only Pallas kernel; xla: materialized "
                         "jnp reference path (projections via XLA matmuls); "
                         "layer: whole-layer-stream Pallas kernel "
                         "(attention + FFN epilogue); layer_xla: the same "
-                        "stream composed through XLA")
+                        "stream composed through XLA; dual: BOTH layer "
+                        "streams in one invocation (core/dual_kernel.py — "
+                        "compare its ms against the SUM of the video and "
+                        "user proj rows)")
     p.add_argument("--stream", default="video", choices=["video", "user"],
                    help="video: Lq=40 blocks (40,100); user: Lq=100 (100,40)")
     p.add_argument("--lq", type=int, default=0,
@@ -81,7 +84,37 @@ def main():
     mask_1 = jnp.asarray(rng.random((B, L1)) < 0.9)
     mask_2 = jnp.asarray(rng.random((B, L2)) < 0.9)
 
-    if args.which in ("layer", "layer_xla"):
+    if args.which == "dual":
+        # merged dual-stream kernel: vid (Lv=40) + usr (Lu=100) streams in
+        # one invocation; block lengths are the stream lengths themselves
+        from segmminterest_tpu.core.dual_kernel import \
+            fused_dual_stream_attention
+        Lv, Lu = (args.l1 or 40), (args.l2 or 100)
+        vid, usr = mk(B, Lv, d), mk(B, Lu, d)
+        mv = jnp.asarray(rng.random((B, Lv)) < 0.9)
+        mu = jnp.asarray(rng.random((B, Lu)) < 0.9)
+        wsa = tuple((mk(d, d), mk(d)) for _ in range(6))
+        wsb = tuple((mk(d, d), mk(d)) for _ in range(6))
+
+        def fwd(vid, usr, wsa, wsb):
+            return fused_dual_stream_attention(
+                vid, usr, wsa, wsb, mv, mu, num_heads=H,
+                dropout_rate=args.dropout, seed=seed,
+                deterministic=bool(args.det))
+
+        if args.bwd:
+            def run(vid, usr, wsa, wsb):
+                def f(vid, usr, wsa, wsb):
+                    ov, ou = fwd(vid, usr, wsa, wsb)
+                    return (ov.astype(jnp.float32).sum()
+                            + ou.astype(jnp.float32).sum())
+                return jax.grad(f, argnums=(0, 1, 2, 3))(
+                    vid, usr, wsa, wsb)[0]
+        else:
+            run = fwd
+        fn = jax.jit(run)
+        cargs = (vid, usr, wsa, wsb)
+    elif args.which in ("layer", "layer_xla"):
         from segmminterest_tpu.core import layer_kernel as LK
 
         ff = d  # flagship ff_dim == d_model (engine/train.py:73)
