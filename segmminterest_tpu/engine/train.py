@@ -134,21 +134,31 @@ class InterestEngine:
                 if (config.compute_dtype == "bfloat16"
                         and table.dtype != jnp.bfloat16):
                     table = table.astype(jnp.bfloat16)
+            def _put(x, sh):
+                # an already-committed device array whose sharding is
+                # equivalent (e.g. synthesized directly in HBM —
+                # tools/perf_ab.py --table_synth device) must NOT be copied:
+                # a redundant device_put of the 4 GB production table while
+                # the caller still holds the original doubles table
+                # residency and OOMs the no-remat step
+                if _on_device(x) and x.sharding.is_equivalent_to(sh, x.ndim):
+                    return x
+                return jax.device_put(x, sh)
+
             if model_axis_size(self.mesh) > 1:
                 # row-shard the table over the model axis: table capacity
                 # scales with mesh width (the 3.9M-row production table is
                 # ~8 GB — half of one v5e's HBM); gathers become
                 # local-gather + psum over 'model' (sharded_table_gather)
                 sh = table_sharding(self.mesh)
-                table = jax.device_put(pad_table_rows(table, self.mesh), sh)
+                table = _put(pad_table_rows(table, self.mesh), sh)
                 if scale is not None:
-                    scale = jax.device_put(pad_table_rows(scale, self.mesh),
-                                           sh)
+                    scale = _put(pad_table_rows(scale, self.mesh), sh)
                 self._table_sharded = True
             else:
-                table = jax.device_put(table, self._repl)
+                table = _put(table, self._repl)
                 if scale is not None:
-                    scale = jax.device_put(scale, self._repl)
+                    scale = _put(scale, self._repl)
             # quantized tables travel as a (q, scale) pytree through the
             # same jit argument
             self.feat_table = (table, scale) if scale is not None else table
