@@ -285,7 +285,7 @@ PRODUCTION_ROWS = 3_920_483   # SegMM segment count (BASELINE.md Table 1)
 # minimum remaining budget to even attempt the production leg: on-device
 # table synthesis is seconds, so the cost is compiles (~2-6 min warm remote
 # cache) + measurement + the e2e epochs
-PRODUCTION_MIN_S = float(os.environ.get("SEGMM_BENCH_PRODUCTION_MIN_S", "480"))
+PRODUCTION_MIN_S = float(os.environ.get("SEGMM_BENCH_PRODUCTION_MIN_S", "600"))
 
 
 def measure_production(result: dict) -> None:

@@ -107,21 +107,49 @@ def main():
     trace = lambda msg: print(f"[perf_ab +{time.perf_counter() - T0:.0f}s] "
                               f"{msg}", file=sys.stderr, flush=True)
     if args.table_synth == "device":
-        # synthesize straight into HBM: no host RAM, no tunnel transfer
-        k0, k1 = jax.random.split(jax.random.PRNGKey(0))
+        # Synthesize straight into HBM: no host RAM, no tunnel transfer.
+        # CHUNK-WISE with input-output aliasing: a single whole-table
+        # jax.random draw materializes a uint32 bits transient 4x the int8
+        # table (16 GB at production rows) — it either OOMs outright or
+        # leaves the arena fragmented so the first train step cannot place
+        # its temps (r4 measured: RESOURCE_EXHAUSTED at step compile even
+        # though the table itself fit). Allocate the table first (lowest
+        # arena offset), then fill 256k-row slabs in place via donation;
+        # peak transient = one slab's random bits (~1 GB).
+        chunk_rows = min(262_144, args.table_rows)
+
+        def fill_loop(tab, draw):
+            fn = jax.jit(draw, donate_argnums=0)
+            key = jax.random.PRNGKey(0)
+            for start in range(0, args.table_rows, chunk_rows):
+                key, k = jax.random.split(key)
+                # dynamic_update_slice clamps the start so the final
+                # partial slab overlaps the previous one — harmless here
+                # (values are random; every row gets initialized)
+                tab = fn(tab, k, jnp.int32(start))
+            jax.block_until_ready(tab)
+            return tab
+
         if args.table_quant == "int8":
-            q = jax.random.randint(k0, (args.table_rows, FEAT_DIM),
-                                   -127, 128, dtype=jnp.int8)
-            s = jax.random.uniform(k1, (args.table_rows, 1), jnp.float32,
+            def draw_q(tab, k, start):
+                chunk = jax.random.randint(
+                    k, (chunk_rows, FEAT_DIM), -127, 128, dtype=jnp.int8)
+                return jax.lax.dynamic_update_slice(tab, chunk, (start, 0))
+            q = fill_loop(jnp.zeros((args.table_rows, FEAT_DIM), jnp.int8),
+                          draw_q)
+            s = jax.random.uniform(jax.random.PRNGKey(1),
+                                   (args.table_rows, 1), jnp.float32,
                                    1e-3, 2e-2)
             feat_table = (q, s)
-            jax.block_until_ready(q)
+            jax.block_until_ready(s)
         else:
             dt = (jnp.bfloat16 if args.table_dtype == "bfloat16"
                   else jnp.float32)
-            feat_table = jax.random.normal(
-                k0, (args.table_rows, FEAT_DIM), dt)
-            jax.block_until_ready(feat_table)
+            def draw_f(tab, k, start):
+                chunk = jax.random.normal(k, (chunk_rows, FEAT_DIM), dt)
+                return jax.lax.dynamic_update_slice(tab, chunk, (start, 0))
+            feat_table = fill_loop(
+                jnp.zeros((args.table_rows, FEAT_DIM), dt), draw_f)
         trace("table synthesized on device")
     elif args.table_quant == "int8":
         # Synthesize the table from ONE random chunk tiled to size:
