@@ -106,3 +106,44 @@ def test_engine_accepts_prequantized_table(rng):
         InterestEngine(cfg, n_users=20, n_items=50,
                        feature_table=(feat, feat[:, :1]),
                        mesh=make_mesh(jax.devices()[:1]))
+
+
+def test_engine_reuses_device_resident_table(rng):
+    """An already-committed table with an equivalent sharding is used AS-IS
+    — no device_put copy (engine/train.py:_put). Regression: a redundant put
+    of the 4 GB production table while the caller still held the original
+    doubled table residency and OOMed the no-remat step (the first r4 B=2048
+    sweep was contaminated by exactly this, BASELINE.md)."""
+    import dataclasses as dc
+
+    import __graft_entry__ as ge
+    from segmminterest_tpu.core.mesh import make_mesh, replicated_sharding
+    from segmminterest_tpu.engine.train import InterestEngine
+
+    mesh = make_mesh(jax.devices()[:1])
+    sh = replicated_sharding(mesh)
+    feat = rng.normal(size=(64, 32)).astype(np.float32)
+
+    # bf16 path: a committed bf16 table must come back by identity
+    cfg = dc.replace(ge._tiny_config(), compute_dtype="bfloat16")
+    dev = jax.device_put(jnp.asarray(feat, jnp.bfloat16), sh)
+    engine = InterestEngine(cfg, n_users=20, n_items=50,
+                            feature_table=dev, mesh=mesh)
+    assert engine.feat_table is dev
+
+    # pre-quantized committed (rows, scales) pair: both reused by identity
+    cfg_q = dc.replace(ge._tiny_config(), table_quant="int8")
+    q, scale = quantize_table_int8(feat)
+    qd = jax.device_put(jnp.asarray(q), sh)
+    sd = jax.device_put(jnp.asarray(scale), sh)
+    engine = InterestEngine(cfg_q, n_users=20, n_items=50,
+                            feature_table=(qd, sd), mesh=mesh)
+    t, s = engine.feat_table
+    assert t is qd and s is sd
+
+    # a host numpy table still goes through device_put (not identity, and
+    # cast to the compute dtype)
+    engine = InterestEngine(cfg, n_users=20, n_items=50,
+                            feature_table=feat, mesh=mesh)
+    assert engine.feat_table is not feat
+    assert engine.feat_table.dtype == jnp.bfloat16
