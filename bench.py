@@ -87,12 +87,30 @@ _CHILD: "subprocess.Popen | None" = None
 
 
 def emit() -> None:
-    """Print the ONE JSON line exactly once (normal exit or signal path)."""
+    """Print the ONE JSON line exactly once (normal exit or signal path).
+
+    SIGTERM/SIGINT are blocked while the line is written: a signal landing
+    mid-print would otherwise find _EMITTED already set, skip its own emit,
+    and os._exit before the interrupted print flushed — truncating the only
+    record. The flag is set only after the flush completes, so a handler
+    that fires before the block simply wins the race and prints the full
+    line itself."""
     global _EMITTED
     if _EMITTED:
         return
-    _EMITTED = True
-    print(json.dumps(RESULT), flush=True)
+    sigs = {signal.SIGTERM, signal.SIGINT}
+    try:
+        signal.pthread_sigmask(signal.SIG_BLOCK, sigs)
+    except (AttributeError, ValueError):  # non-main thread / platform
+        pass
+    try:
+        print(json.dumps(RESULT), flush=True)
+        _EMITTED = True
+    finally:
+        try:
+            signal.pthread_sigmask(signal.SIG_UNBLOCK, sigs)
+        except (AttributeError, ValueError):
+            pass
 
 
 def _on_signal(signum, frame):  # noqa: ARG001
@@ -235,6 +253,8 @@ def measure(result: dict, safe: bool = False) -> None:
     result["vs_baseline"] = round(ips / REFERENCE_A100_IPS_EST, 3)
 
     # ---- end-to-end: real sample data through the full host pipeline ----
+    # NOTE: tools/perf_ab.py --e2e mirrors this section at arbitrary table
+    # scales; a methodology change here must land there too.
     if not os.path.exists(SAMPLE_CSV):
         result["e2e_error"] = "sample csv unavailable"
         return
@@ -345,6 +365,10 @@ def measure_production(result: dict) -> None:
     except subprocess.TimeoutExpired:
         if _CHILD is not None:
             _CHILD.kill()
+            try:  # reap the killed child and drain its pipes
+                _CHILD.communicate(timeout=10)
+            except Exception:  # noqa: BLE001 — best-effort cleanup
+                pass
             _CHILD = None
         result["production_error"] = f"timeout after {budget:.0f}s"
     except Exception as e:  # noqa: BLE001 — diagnostic only
@@ -360,26 +384,33 @@ def main():
     })
     signal.signal(signal.SIGTERM, _on_signal)
     signal.signal(signal.SIGINT, _on_signal)
-    platforms = os.environ.get("JAX_PLATFORMS", "axon")
-    if "axon" in platforms and not probe_tpu():
-        RESULT["error"] = (
-            "axon TPU tunnel unavailable after "
-            f"{len(PROBE_SLEEPS_S)} probes over "
-            f"{sum(PROBE_SLEEPS_S) + len(PROBE_SLEEPS_S) * PROBE_TIMEOUT_S}s")
-        emit()
-        return
-    # fast flagship + e2e first: these ARE the headline record (VERDICT r3 #1)
+    # whatever happens below, the ONE parseable line is printed and the
+    # exit code stays 0 — an uncaught exception must never reproduce the
+    # rc=1/rc=124, parsed:null driver-record failure modes
     try:
-        measure(RESULT)
-    except Exception as e:  # noqa: BLE001 — fall back, never crash the record
-        RESULT["fallback"] = (
-            f"aggressive config failed ({type(e).__name__}); "
-            "re-ran with layer remat + separate projections")
-        measure(RESULT, safe=True)
-    # production-scale legs last, under the remaining budget
-    if not os.environ.get("SEGMM_BENCH_SKIP_PRODUCTION"):
-        measure_production(RESULT)
-    emit()
+        platforms = os.environ.get("JAX_PLATFORMS", "axon")
+        if "axon" in platforms and not probe_tpu():
+            RESULT["error"] = (
+                "axon TPU tunnel unavailable after "
+                f"{len(PROBE_SLEEPS_S)} probes over "
+                f"{sum(PROBE_SLEEPS_S) + len(PROBE_SLEEPS_S) * PROBE_TIMEOUT_S}s")
+            return
+        # fast flagship + e2e first: these ARE the headline record
+        # (VERDICT r3 #1)
+        try:
+            measure(RESULT)
+        except Exception as e:  # noqa: BLE001 — fall back, keep the record
+            RESULT["fallback"] = (
+                f"aggressive config failed ({type(e).__name__}); "
+                "re-ran with layer remat + separate projections")
+            measure(RESULT, safe=True)
+        # production-scale legs last, under the remaining budget
+        if not os.environ.get("SEGMM_BENCH_SKIP_PRODUCTION"):
+            measure_production(RESULT)
+    except Exception as e:  # noqa: BLE001 — record the failure, emit anyway
+        RESULT.setdefault("error", f"{type(e).__name__}: {e}"[:300])
+    finally:
+        emit()
 
 
 if __name__ == "__main__":

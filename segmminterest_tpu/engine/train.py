@@ -118,8 +118,13 @@ class InterestEngine:
                 # of materializing the full float table (tools/perf_ab.py).
                 if isinstance(feature_table, tuple):
                     table, scale = feature_table
-                    if not (_on_device(table) and _on_device(scale)):
-                        table, scale = np.asarray(table), np.asarray(scale)
+                    # convert per element: a mixed pair (device table, host
+                    # scale — plausible, the scale is ~16 MB vs the 4 GB
+                    # table) must not pull the committed table back to host
+                    if not _on_device(table):
+                        table = np.asarray(table)
+                    if not _on_device(scale):
+                        scale = np.asarray(scale)
                     if table.dtype != np.int8 or scale.dtype != np.float32:
                         raise ValueError(
                             "pre-quantized feature_table must be "

@@ -143,6 +143,22 @@ def test_main_falls_back_to_safe_config(bench, capsys, monkeypatch,
     assert "fallback" in rec
 
 
+def test_main_emits_record_even_when_both_configs_fail(
+        bench, capsys, monkeypatch, _restore_signals):
+    """An exception escaping even the safe-fallback measure() must still
+    leave the one parseable line (emit() runs from a finally)."""
+    def measure(result, safe=False):
+        raise RuntimeError("RESOURCE_EXHAUSTED")
+
+    monkeypatch.setattr(bench, "probe_tpu", lambda: True)
+    monkeypatch.setattr(bench, "measure", measure)
+    bench.main()
+    rec = json.loads(capsys.readouterr().out.strip())
+    assert "RESOURCE_EXHAUSTED" in rec["error"]
+    assert "fallback" in rec
+    assert rec["value"] == 0.0
+
+
 def test_main_emits_error_record_when_tunnel_never_answers(
         bench, capsys, monkeypatch, _restore_signals):
     monkeypatch.setattr(bench, "probe_tpu", lambda: False)

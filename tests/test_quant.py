@@ -141,6 +141,14 @@ def test_engine_reuses_device_resident_table(rng):
     t, s = engine.feat_table
     assert t is qd and s is sd
 
+    # a MIXED pair (device table, host scale) must not pull the committed
+    # table back to host: the table comes back by identity, the scale is put
+    engine = InterestEngine(cfg_q, n_users=20, n_items=50,
+                            feature_table=(qd, np.asarray(scale)), mesh=mesh)
+    t, s = engine.feat_table
+    assert t is qd
+    assert isinstance(s, jax.Array)
+
     # a host numpy table still goes through device_put (not identity, and
     # cast to the compute dtype)
     engine = InterestEngine(cfg, n_users=20, n_items=50,

@@ -81,6 +81,11 @@ def main():
                         "for the train step")
     p.add_argument("--out", default="/tmp/perf_ab.jsonl")
     args = p.parse_args()
+    # the e2e loop drives train_step; pairing it with an eval-only device
+    # measurement would record a meaningless train-e2e / eval-device ratio
+    if args.e2e and args.eval_only:
+        sys.exit("--e2e 1 is a train-pipeline measurement; "
+                 "it cannot be combined with --eval_only 1")
 
     T0 = time.perf_counter()
     from bench import make_batch
@@ -221,6 +226,10 @@ def main():
         # Full host pipeline at THIS table scale (VERDICT r3 #4): sample CSV
         # rows, lineid map spread over the full table, producer-thread
         # device_put (engine.batch_transform), cross-epoch streaming.
+        # NOTE: mirrors bench.py measure()'s e2e section (same iterator
+        # wiring, warm epoch, fill-fraction math; field names differ by
+        # design — bench's driver record vs this matrix row). A methodology
+        # change there must land here too.
         from bench import SAMPLE_CSV, synthetic_store
         from segmminterest_tpu.data.dataset import BatchIterator
         from segmminterest_tpu.data.reader import SeqReader
