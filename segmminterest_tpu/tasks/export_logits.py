@@ -34,6 +34,38 @@ from .skip_train import build_parser, config_from_args
 
 logger = logging.getLogger(__name__)
 
+# measured serving latency per batch size (v5e, production 3.9M-row int8
+# table, eval-only path — docs/DEPLOYMENT.md "Serving" / BASELINE.md
+# production matrix; re-measure with tools/perf_ab.py --eval_only 1)
+SERVING_LATENCY_TABLE = ((1024, 82.5), (128, 21.8))
+
+
+def apply_serving_preset(cfg: InterestConfig,
+                         latency_target_ms: float = 0.0) -> InterestConfig:
+    """Pin the measured production serving configuration (VERDICT r4 #7):
+    int8 feature table + per-row scales (halves HBM), projection-fused
+    Pallas kernel, bfloat16 compute, no remat (forward-only path), and the
+    eval batch size chosen from the measured latency table — the largest
+    measured batch whose per-batch latency meets ``latency_target_ms``
+    (0 = max throughput, B=1024 at 82.5 ms / 12,418 ips)."""
+    import dataclasses
+    batch = SERVING_LATENCY_TABLE[0][0]
+    if latency_target_ms > 0:
+        fitting = [b for b, ms in SERVING_LATENCY_TABLE
+                   if ms <= latency_target_ms]
+        if fitting:
+            batch = max(fitting)
+        else:
+            batch = SERVING_LATENCY_TABLE[-1][0]
+            logger.warning(
+                "no measured batch size meets %.1f ms (fastest measured "
+                "point: B=%d at %.1f ms) — using B=%d",
+                latency_target_ms, *SERVING_LATENCY_TABLE[-1],
+                SERVING_LATENCY_TABLE[-1][0])
+    return dataclasses.replace(
+        cfg, table_quant="int8", fuse_qkv=True, compute_dtype="bfloat16",
+        remat=False, test_batch_size=batch)
+
 
 def export_split_logits(engine: InterestEngine, state,
                         iterator: BatchIterator) -> Dict[str, List[float]]:
@@ -69,6 +101,15 @@ def main(argv=None):
                         "as the reference inference scripts do "
                         "(save_logits_for_all_leave_SegMM.py:249-259); "
                         "explicit CLI model flags are then overridden")
+    p.add_argument("--serving", type=int, default=0,
+                   help="pin the measured production serving preset "
+                        "(docs/DEPLOYMENT.md): int8 table, fuse_qkv, "
+                        "bfloat16, no remat, eval batch from the measured "
+                        "latency table")
+    p.add_argument("--latency_target_ms", type=float, default=0.0,
+                   help="with --serving: pick the largest measured batch "
+                        "size whose per-batch latency meets this target "
+                        "(0 = max throughput, B=1024)")
     args = p.parse_args(argv)
     cfg = config_from_args(args)
     if args.parse_work_dir:
@@ -78,6 +119,10 @@ def main(argv=None):
                         cfg.param_dir())
         except ValueError as e:
             logger.warning("%s — using CLI flags instead", e)
+    if args.serving:
+        cfg = apply_serving_preset(cfg, args.latency_target_ms)
+        logger.info("serving preset: int8 table, fuse_qkv, bfloat16, "
+                    "no remat, eval batch %d", cfg.test_batch_size)
 
     if cfg.sample_csv:
         reader = SeqReader.from_single_csv(

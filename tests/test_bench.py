@@ -99,6 +99,40 @@ def test_production_success_parses_perf_ab_record(bench, tmp_path,
     assert result["production_e2e_vs_device"] == 0.95
 
 
+def test_production_serving_fields_parsed(bench, tmp_path, monkeypatch):
+    rec = {"ips": 42.0, "step_ms": 1.0, "e2e_ips": 40.0,
+           "e2e_vs_device": 0.95, "serving_ips": 123.0,
+           "serving_step_ms": 8.0}
+    monkeypatch.setattr(sys, "executable", _fake_exe(
+        tmp_path, f"echo '{json.dumps(rec)}' > /tmp/bench_production.jsonl"))
+    bench.PRODUCTION_MIN_S = 1.0
+    result = {}
+    bench.measure_production(result)
+    assert result["serving_ips"] == 123.0
+    assert result["serving_step_ms"] == 8.0
+
+
+def test_production_timeout_salvages_intermediate_record(bench, tmp_path,
+                                                         monkeypatch):
+    """--serving writes the train-mode record before its extra compile; a
+    budget kill must still surface those fields (bench.py salvage path)."""
+    rec = {"ips": 42.0, "step_ms": 1.0, "e2e_ips": 40.0,
+           "e2e_vs_device": 0.95}
+    monkeypatch.setattr(sys, "executable", _fake_exe(
+        tmp_path,
+        f"echo '{json.dumps(rec)}' > /tmp/bench_production.jsonl; sleep 60"))
+    bench.PRODUCTION_MIN_S = 1.0
+    bench._T0 = time.monotonic()
+    bench.BUDGET_S = 33.0  # budget = 33 - 30 = ~3 s
+    result = {}
+    bench.measure_production(result)
+    assert result["production_error"].startswith("timeout")
+    assert result["production_ips"] == 42.0
+    assert result["production_e2e_ips"] == 40.0
+    assert result["production_partial"] == "salvaged pre-kill record"
+    assert "serving_ips" not in result
+
+
 @pytest.fixture
 def _restore_signals():
     old_term = signal.getsignal(signal.SIGTERM)

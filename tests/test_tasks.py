@@ -122,3 +122,59 @@ def test_exp_multi_seed_sweep(tmp_path, segrec_data):
     assert auc_cols, df.columns
     col = df[auc_cols[0]].astype(float)
     np.testing.assert_allclose(col.iloc[2], col.iloc[:2].mean())
+
+
+def test_serving_preset_pins_measured_config():
+    """VERDICT r4 #7: --serving pins the measured deployment configuration
+    (docs/DEPLOYMENT.md) and picks batch size from the latency table."""
+    from segmminterest_tpu.tasks.export_logits import (
+        SERVING_LATENCY_TABLE, apply_serving_preset)
+    from segmminterest_tpu.utils.config import InterestConfig
+    cfg = apply_serving_preset(InterestConfig())
+    assert cfg.table_quant == "int8"
+    assert cfg.fuse_qkv and not cfg.remat
+    assert cfg.compute_dtype == "bfloat16"
+    assert cfg.test_batch_size == SERVING_LATENCY_TABLE[0][0]  # 1024
+    # latency-targeted: largest measured batch meeting the target
+    assert apply_serving_preset(InterestConfig(),
+                                latency_target_ms=25.0).test_batch_size == 128
+    assert apply_serving_preset(InterestConfig(),
+                                latency_target_ms=90.0).test_batch_size == 1024
+    # unreachable target: fall back to the fastest measured point
+    assert apply_serving_preset(InterestConfig(),
+                                latency_target_ms=5.0).test_batch_size == 128
+
+
+@pytest.mark.slow
+def test_export_logits_serving_end_to_end(tmp_path):
+    """A3 + the serving preset: train a tiny checkpoint, export logits via
+    the --serving path (int8-quantized table on the eval engine), and check
+    the reference key schema (save_logits_for_all_leave_SegMM.py:105-135)."""
+    from segmminterest_tpu.data.reader import SeqReader
+    from segmminterest_tpu.engine.train import run_training
+    from segmminterest_tpu.tasks.export_logits import main as export_main
+    from segmminterest_tpu.utils.config import InterestConfig
+
+    reader = SeqReader.from_single_csv(SAMPLE, min_interactions=30,
+                                       num_warmup=10)
+    cfg = InterestConfig(
+        sample_csv=SAMPLE, d_model=32, nhead=4, num_layers_enc=2,
+        user_input_type="id", photo_input_type="id", fusion_heads=2,
+        train_batch_size=128, valid_batch_size=128, test_batch_size=128,
+        epochs=1, valid_step=2, logging_step=100, early_stop=0,
+        loss_type="interestBPR,focal", exposure_prob=[1.0] * 40,
+        ckpt_dir=str(tmp_path / "ckpt"), debug=True)
+    result = run_training(cfg, reader)
+    out = export_main([
+        "--work_dir", result["work_dir"],
+        "--sample_csv", SAMPLE, "--min_interactions", "30",
+        "--num_warmup", "10",
+        "--user_input_type", "id", "--photo_input_type", "id",
+        "--d_model", "32", "--nhead", "4", "--num_layers_enc", "2",
+        "--serving", "1", "--latency_target_ms", "25",
+        "--splits", "test", "--out_dir", str(tmp_path / "logits")])
+    d = json.load(open(out))
+    assert len(d) == len(reader.tables["test"])
+    key, row = next(iter(d.items()))
+    assert len(key.split("-")) == 3 and len(row) == 40
+    assert all(np.isfinite(row))

@@ -45,6 +45,13 @@ def main():
                         "(core/dual_kernel.py)")
     p.add_argument("--fuse_layer", type=int, default=0)
     p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--input_type", default="both", choices=["both", "id"],
+                   help="'id' = the KuaiRand deployment shape: no feature "
+                        "table (ID-only embeddings, main_for_seq_leave_"
+                        "earlystop_KuaiRand.py:34-42); pair with --n_users/"
+                        "--n_items for its vocab (983 / 717,652)")
+    p.add_argument("--n_users", type=int, default=1903)
+    p.add_argument("--n_items", type=int, default=352494)
     p.add_argument("--eval_only", type=int, default=0)
     p.add_argument("--d_model", type=int, default=512)
     p.add_argument("--nhead", type=int, default=16)
@@ -75,6 +82,13 @@ def main():
                         "against THIS table size: sample CSV rows, "
                         "production-scale gather indices (VERDICT r3 #4)")
     p.add_argument("--e2e_epochs", type=int, default=3)
+    p.add_argument("--serving", type=int, default=0,
+                   help="after the train-mode measurement, also time the "
+                        "eval-only (serving) step on the SAME engine/table "
+                        "and add serving_ips/serving_step_ms to the record; "
+                        "an intermediate record line is written first so a "
+                        "budget kill during the serving compile cannot lose "
+                        "the train-mode fields")
     p.add_argument("--profile_dir", default="")
     p.add_argument("--cost_analysis", type=int, default=0,
                    help="print XLA's compiled cost analysis (flops/bytes) "
@@ -86,6 +100,9 @@ def main():
     if args.e2e and args.eval_only:
         sys.exit("--e2e 1 is a train-pipeline measurement; "
                  "it cannot be combined with --eval_only 1")
+    if args.serving and args.eval_only:
+        sys.exit("--serving 1 appends an eval-only leg to a TRAIN "
+                 "measurement; with --eval_only 1 it is redundant")
 
     T0 = time.perf_counter()
     from bench import make_batch
@@ -97,7 +114,8 @@ def main():
     cfg = InterestConfig(
         d_model=args.d_model, nhead=args.nhead,
         num_layers_enc=args.num_layers_enc,
-        user_input_type="both", photo_input_type="both", fusion_heads=2,
+        user_input_type=args.input_type, photo_input_type=args.input_type,
+        fusion_heads=2,
         loss_type="interestBPR,focal", exposure_prob=[1.0] * 40,
         train_batch_size=args.batch, compute_dtype=args.compute_dtype,
         remat=bool(args.remat), remat_scope=args.remat_scope,
@@ -111,7 +129,13 @@ def main():
     rng = np.random.default_rng(0)
     trace = lambda msg: print(f"[perf_ab +{time.perf_counter() - T0:.0f}s] "
                               f"{msg}", file=sys.stderr, flush=True)
-    if args.table_synth == "device":
+    if args.input_type == "id":
+        # ID-only deployment shape: no feature table at all — the model's
+        # inputs are the identity-id embeddings (KuaiRand has no visual
+        # features; scale lives in the 717k-item embedding instead)
+        feat_table = None
+        trace("id-only mode: no feature table")
+    elif args.table_synth == "device":
         # Synthesize straight into HBM: no host RAM, no tunnel transfer.
         # CHUNK-WISE with input-output aliasing: a single whole-table
         # jax.random draw materializes a uint32 bits transient 4x the int8
@@ -185,11 +209,12 @@ def main():
             stop = min(start + chunk_rows, args.table_rows)
             feat_table[start:stop] = chunk[:stop - start]
         trace("host table built")
-    engine = InterestEngine(cfg, n_users=1903, n_items=352494,
+    engine = InterestEngine(cfg, n_users=args.n_users, n_items=args.n_items,
                             feature_table=feat_table)
     trace("table resident on device")
 
-    batches = [make_batch(rng, args.batch, n_lines=args.table_rows)
+    batches = [make_batch(rng, args.batch, n_lines=args.table_rows,
+                          n_users=args.n_users, n_items=args.n_items)
                for _ in range(4)]
     state = engine.init_state(jax.random.PRNGKey(0), batches[0])
     trace("params initialized")
@@ -238,7 +263,9 @@ def main():
         else:
             reader = SeqReader.from_single_csv(
                 SAMPLE_CSV, min_interactions=30, num_warmup=10)
-            store = synthetic_store(
+            # id-only mode: no feature store — the iterator ships labels +
+            # identity ids only (the KuaiRand host pipeline)
+            store = None if args.input_type == "id" else synthetic_store(
                 reader, rng, n_lines=args.table_rows,
                 feat=np.zeros((1, FEAT_DIM), np.float32))
             it = BatchIterator(reader, reader.tables["train"], args.batch,
@@ -297,10 +324,39 @@ def main():
            "table_rows": args.table_rows, "table_synth": args.table_synth,
            "eval_only": args.eval_only, "dtype": args.compute_dtype,
            **e2e, **cost}
-    line = json.dumps(rec)
-    print(line)
-    with open(args.out, "a") as f:
-        f.write(line + "\n")
+
+    def append_record(r):
+        line = json.dumps(r)
+        print(line, flush=True)
+        with open(args.out, "a") as f:
+            f.write(line + "\n")
+
+    if args.serving:
+        # write the train-mode record FIRST: if the caller's budget kills
+        # this process mid-serving-compile, the train fields survive
+        append_record(rec)
+        try:
+            def eval_step(i):
+                out = engine.eval_step(state, batches[i % 4])
+                return out[0]["loss"]
+            for i in range(args.warmup):
+                loss = eval_step(i)
+            jax.block_until_ready(loss)
+            trace("serving warmup done (eval step compiled)")
+            st = time.perf_counter()
+            for i in range(args.steps):
+                loss = eval_step(i)
+            jax.block_until_ready(loss)
+            sv_elapsed = time.perf_counter() - st
+            rec = dict(rec,
+                       serving_ips=round(args.batch * args.steps
+                                         / sv_elapsed, 1),
+                       serving_step_ms=round(1000 * sv_elapsed
+                                             / args.steps, 2))
+            trace(f"serving measured: {rec['serving_ips']} ips")
+        except Exception as e:  # noqa: BLE001 — keep the train record
+            rec = dict(rec, serving_error=f"{type(e).__name__}: {e}"[:200])
+    append_record(rec)
 
 
 if __name__ == "__main__":

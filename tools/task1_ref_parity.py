@@ -398,13 +398,24 @@ def run_throughput(reader, store, warmup, steps, d_model=None, heads=None,
 
 
 def main():
-    global EPOCHS, SEED
+    global EPOCHS, SEED, D, HEADS, LAYERS, FF, BATCH
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="/tmp/task1_parity.json")
     # --skip_pool_cap removed (round 4): pools are always exact (PARITY D7)
     p.add_argument("--epochs", type=int, default=EPOCHS,
                    help="override the training length (smoke: 1)")
     p.add_argument("--seed", type=int, default=SEED)
+    # training-run-mode dim overrides (VERDICT r4 #2: mid-dims run parity;
+    # d=128/4-layer is the largest shape where the reference torch side
+    # steps at feasible CPU speed, ~22 ips — BASELINE.md control)
+    p.add_argument("--d_model", type=int, default=0,
+                   help="override model dims for the TRAINING-RUN "
+                        "comparison (default: tool dims d=32/2-layer)")
+    p.add_argument("--nhead", type=int, default=0)
+    p.add_argument("--layers", type=int, default=0)
+    p.add_argument("--ff", type=int, default=0,
+                   help="feed-forward width (default: tracks --d_model)")
+    p.add_argument("--batch", type=int, default=0)
     p.add_argument("--throughput", type=int, default=0,
                    help="instead of the training-run comparison, time the "
                         "reference torch step vs our jitted step on this "
@@ -425,6 +436,15 @@ def main():
     args = p.parse_args()
     EPOCHS = args.epochs
     SEED = args.seed
+    if args.d_model:
+        D = args.d_model
+        FF = args.ff or args.d_model
+    if args.nhead:
+        HEADS = args.nhead
+    if args.layers:
+        LAYERS = args.layers
+    if args.batch:
+        BATCH = args.batch
 
     import jax
     # unconditional: querying jax.default_backend() first would INITIALIZE
