@@ -37,7 +37,8 @@ logger = logging.getLogger(__name__)
 # measured serving latency per batch size (v5e, production 3.9M-row int8
 # table, eval-only path — docs/DEPLOYMENT.md "Serving" / BASELINE.md
 # production matrix; re-measure with tools/perf_ab.py --eval_only 1)
-SERVING_LATENCY_TABLE = ((1024, 82.5), (128, 21.8))
+SERVING_LATENCY_TABLE = ((1024, 82.5), (512, 41.4), (256, 23.9),
+                         (128, 21.8))
 
 
 def apply_serving_preset(cfg: InterestConfig,

@@ -136,8 +136,12 @@ def test_serving_preset_pins_measured_config():
     assert cfg.compute_dtype == "bfloat16"
     assert cfg.test_batch_size == SERVING_LATENCY_TABLE[0][0]  # 1024
     # latency-targeted: largest measured batch meeting the target
+    # (B=256 at 23.9 ms dominates B=128 at 21.8 ms for a 25 ms budget —
+    # 10,728 vs 5,879 ips, the r5 frontier measurement)
     assert apply_serving_preset(InterestConfig(),
-                                latency_target_ms=25.0).test_batch_size == 128
+                                latency_target_ms=25.0).test_batch_size == 256
+    assert apply_serving_preset(InterestConfig(),
+                                latency_target_ms=50.0).test_batch_size == 512
     assert apply_serving_preset(InterestConfig(),
                                 latency_target_ms=90.0).test_batch_size == 1024
     # unreachable target: fall back to the fastest measured point
